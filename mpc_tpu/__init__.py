@@ -1,0 +1,28 @@
+"""mpc_tpu: a TPU-native differentiable MPC framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+locuslab/mpc.pytorch: a batched, box-constrained, differentiable iLQR
+solver whose backward pass differentiates through the KKT fixed point of
+the converged controller (Amos et al., NeurIPS 2018).
+
+Public surface:
+  MPC                      - reference-compatible batched solver class
+  QuadCost, LinDx          - cost / linear-dynamics pytrees
+  GradMethods              - dynamics-Jacobian method enum
+  MPCConfig, Solution      - static config / full solver output
+  solve_single             - pure per-instance functional solver
+                             (vmap/jit/grad/pjit-composable)
+"""
+
+from .types import GradMethods, LinDx, MPCConfig, QuadCost, Solution
+from .mpc import MPC
+from .solver import (linearize_dynamics, quadratize_cost, rollout,
+                     solve_single, trajectory_cost)
+
+__version__ = '0.1.0'
+
+__all__ = [
+    'MPC', 'QuadCost', 'LinDx', 'GradMethods', 'MPCConfig', 'Solution',
+    'solve_single', 'rollout', 'trajectory_cost',
+    'linearize_dynamics', 'quadratize_cost',
+]

@@ -1,0 +1,157 @@
+"""Dynamics model library (reference mpc/dynamics.py).
+
+Models are plain Python objects registered as JAX pytrees: their
+parameters are pytree leaves, so a model can be passed through
+``jit``/``vmap``/``grad`` and optimized directly (the idiomatic JAX
+replacement for the reference's stateful nn.Modules).  Every model is a
+callable ``model(x, u) -> x_next`` on single instances (the solver vmaps
+the batch axis); the elementwise models also broadcast over leading
+batch dimensions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+ACTS = {
+    'sigmoid': jax.nn.sigmoid,
+    'relu': jax.nn.relu,
+    'elu': jax.nn.elu,
+}
+
+# derivative of the activation expressed in terms of its *output* z
+# (the reference reconstructs Jacobians from stored activations,
+#  mpc/dynamics.py:98-112)
+_ACT_DERIV_FROM_OUT = {
+    'sigmoid': lambda z: z * (1.0 - z),
+    'relu': lambda z: (z > 0).astype(z.dtype),
+    'elu': lambda z: jnp.where(z > 0, 1.0, z + 1.0),
+}
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class NNDynamics:
+    """MLP dynamics with an analytic input-Jacobian
+    (reference NNDynamics, mpc/dynamics.py:15-130).
+
+    params: list of (W, b) with W [n_out, n_in]; the final layer has no
+    activation; optional residual passthrough adds x to the output
+    (reference mpc/dynamics.py:73-74).
+    """
+    params: Sequence[Tuple[jax.Array, jax.Array]]
+    activation: str = 'sigmoid'
+    passthrough: bool = True
+    n_state: int = 0
+    n_ctrl: int = 0
+
+    @staticmethod
+    def init(key, n_state, n_ctrl, hidden_sizes=(100,),
+             activation='sigmoid', passthrough=True, dtype=jnp.float32):
+        """LeCun-uniform init matching torch.nn.Linear's default
+        (uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)) for W and b)."""
+        assert activation in ACTS
+        sizes = [n_state + n_ctrl] + list(hidden_sizes) + [n_state]
+        params = []
+        for n_in, n_out in zip(sizes[:-1], sizes[1:]):
+            key, k1, k2 = jax.random.split(key, 3)
+            bound = 1.0 / jnp.sqrt(n_in)
+            W = jax.random.uniform(k1, (n_out, n_in), dtype, -bound, bound)
+            b = jax.random.uniform(k2, (n_out,), dtype, -bound, bound)
+            params.append((W, b))
+        return NNDynamics(params, activation, passthrough, n_state, n_ctrl)
+
+    def _forward_with_acts(self, x, u):
+        z = jnp.concatenate([x, u], axis=-1)
+        act = ACTS[self.activation]
+        zs = []
+        n_layers = len(self.params)
+        for i, (W, b) in enumerate(self.params):
+            z = z @ W.T + b
+            if i < n_layers - 1:
+                z = act(z)
+                zs.append(z)
+        if self.passthrough:
+            z = z + x
+        return z, zs
+
+    def __call__(self, x, u):
+        out, _ = self._forward_with_acts(x, u)
+        return out
+
+    def grad_input(self, x, u):
+        """Analytic Jacobian (R, S) = (d x'/d x, d x'/d u), single instance
+        (reference mpc/dynamics.py:81-130: reverse product of layer
+        weights with activation-derivative masks)."""
+        _, zs = self._forward_with_acts(x, u)
+        n_state = x.shape[-1]
+        deriv = _ACT_DERIV_FROM_OUT[self.activation]
+        grad = self.params[-1][0]                   # [n_state, n_hidden]
+        for i in range(len(zs) - 1, -1, -1):
+            W = self.params[i][0]
+            grad = grad @ (W * deriv(zs[i])[:, None])
+        R = grad[:, :n_state]
+        S = grad[:, n_state:]
+        if self.passthrough:
+            R = R + jnp.eye(n_state, dtype=R.dtype)
+        return R, S
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return (list(self.params),), (self.activation, self.passthrough,
+                                      self.n_state, self.n_ctrl)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class AffineDynamics:
+    """x' = A x + B u + c (reference AffineDynamics, mpc/dynamics.py:159-202)."""
+    A: jax.Array
+    B: jax.Array
+    c: Optional[jax.Array] = None
+
+    def __call__(self, x, u):
+        z = x @ self.A.T + u @ self.B.T
+        if self.c is not None:
+            z = z + self.c
+        return z
+
+    def grad_input(self, x, u):
+        return self.A, self.B
+
+    def tree_flatten(self):
+        return (self.A, self.B, self.c), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class CtrlPassthroughDynamics:
+    """Wraps a model to operate on the slew-augmented state (u_{t-1}, x)
+    (reference CtrlPassthroughDynamics, mpc/dynamics.py:133-156)."""
+    dynamics: Any
+
+    def __call__(self, tilde_x, u):
+        n_ctrl = u.shape[-1]
+        x = tilde_x[..., n_ctrl:]
+        xtp1 = self.dynamics(x, u)
+        return jnp.concatenate([u, xtp1], axis=-1)
+
+    def tree_flatten(self):
+        return (self.dynamics,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)

@@ -1,0 +1,107 @@
+"""Pendulum environment dynamics (reference mpc/env_dx/pendulum.py:18-114).
+
+3-state (cos th, sin th, dth), 1-control pendulum with torque clamp +-2
+and Euler integration; simple (g, m, l) or damped-biased (g, m, l, d, b)
+parameterization.  Registered as a pytree so the physics parameters can
+be learned by differentiating through the controller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PendulumDx:
+    params: jax.Array = None
+    simple: bool = True
+
+    # constants (reference pendulum.py:23-27)
+    max_torque = 2.0
+    dt = 0.05
+    n_state = 3
+    n_ctrl = 1
+
+    # cost / solver spec carried on the env object
+    # (reference pendulum.py:40-47)
+    goal_state = np.array([1., 0., 0.])
+    goal_weights = np.array([1., 1., 0.1])
+    ctrl_penalty = 0.001
+    lower, upper = -2., 2.
+    mpc_eps = 1e-3
+    linesearch_decay = 0.2
+    max_linesearch_iter = 5
+
+    def __post_init__(self):
+        if self.params is None:
+            if self.simple:
+                self.params = jnp.array([10., 1., 1.])   # g, m, l
+            else:
+                self.params = jnp.array([10., 1., 1., 0., 0.])
+
+    def __call__(self, x, u):
+        """Euler step (reference pendulum.py:49-84). Shape-polymorphic on
+        leading dims; operates on the last axis."""
+        if self.simple:
+            g, m, l = self.params
+        else:
+            g, m, l, d, b = self.params
+
+        u = jnp.clip(u[..., 0], -self.max_torque, self.max_torque)
+        cos_th, sin_th, dth = x[..., 0], x[..., 1], x[..., 2]
+        th = jnp.arctan2(sin_th, cos_th)
+        if self.simple:
+            newdth = dth + self.dt * (
+                -3. * g / (2. * l) * (-sin_th) + 3. * u / (m * l ** 2))
+        else:
+            sin_th_bias = jnp.sin(th + b)
+            newdth = dth + self.dt * (
+                -3. * g / (2. * l) * (-sin_th_bias) + 3. * u / (m * l ** 2)
+                - d * th)
+        newth = th + newdth * self.dt
+        return jnp.stack(
+            [jnp.cos(newth), jnp.sin(newth), newdth], axis=-1)
+
+    def get_true_obj(self):
+        """Diagonal quadratic swing-up objective
+        (reference pendulum.py:106-114).  Returns (q, p) with
+        C = diag(q), c = p."""
+        q = jnp.concatenate([
+            jnp.asarray(self.goal_weights),
+            self.ctrl_penalty * jnp.ones(self.n_ctrl)])
+        px = -jnp.sqrt(jnp.asarray(self.goal_weights)) * \
+            jnp.asarray(self.goal_state)
+        p = jnp.concatenate([px, jnp.zeros(self.n_ctrl)])
+        return q, p
+
+    def get_frame(self, x, ax=None):
+        """Matplotlib rendering (reference pendulum.py:86-104)."""
+        import matplotlib.pyplot as plt
+        x = np.asarray(x).reshape(-1)
+        assert len(x) == 3
+        l = float(self.params[2])
+        cos_th, sin_th, _ = x
+        px, py = sin_th * l, cos_th * l
+        if ax is None:
+            fig, ax = plt.subplots(figsize=(6, 6))
+        else:
+            fig = ax.get_figure()
+        ax.plot((0, px), (0, py), color='k')
+        ax.set_xlim((-l * 1.2, l * 1.2))
+        ax.set_ylim((-l * 1.2, l * 1.2))
+        return fig, ax
+
+    def tree_flatten(self):
+        return (self.params,), (self.simple,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.params = children[0]
+        obj.simple = aux[0]
+        return obj

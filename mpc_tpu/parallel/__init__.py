@@ -1,0 +1,5 @@
+"""Multi-chip scale-out: mesh construction and batch-sharded solving."""
+
+from .mesh import make_mesh, shard_batch, solve_sharded
+
+__all__ = ['make_mesh', 'shard_batch', 'solve_sharded']

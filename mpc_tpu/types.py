@@ -1,0 +1,96 @@
+"""Public types for the TPU-native differentiable MPC framework.
+
+Mirrors the reference's public surface (mpc/mpc.py:21-33): ``QuadCost``
+and ``LinDx`` named tuples (which are JAX pytrees here, so they pass
+transparently through jit/vmap/grad), the ``GradMethods`` enum, and the
+solver configuration - the reference's 21 constructor knobs
+(mpc/mpc.py:123-144) as a frozen, hashable dataclass so an ``MPCConfig``
+can be closed over by a compiled solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import NamedTuple, Optional
+
+import jax
+
+
+class QuadCost(NamedTuple):
+    """Quadratic cost 0.5 tau^T C tau + c^T tau (reference mpc/mpc.py:21).
+
+    C: [T, n_tau, n_tau] (or [T, B, n_tau, n_tau] batched, or fewer dims
+    to be broadcast by the MPC wrapper); c: [T, n_tau] likewise.
+    """
+    C: jax.Array = None
+    c: jax.Array = None
+
+
+class LinDx(NamedTuple):
+    """Linear dynamics x' = F @ (x, u) + f (reference mpc/mpc.py:22).
+
+    F: [T-1, n_state, n_tau]; f: [T-1, n_state] or None.
+    """
+    F: jax.Array = None
+    f: Optional[jax.Array] = None
+
+
+class GradMethods(enum.Enum):
+    """Dynamics-Jacobian extraction method (reference mpc/mpc.py:29-33).
+
+    On TPU all methods share one vmapped code path; ANALYTIC uses a
+    model-provided ``grad_input`` when available and otherwise falls back
+    to AUTO_DIFF (``jax.jacrev``), which is exact in JAX.
+    """
+    AUTO_DIFF = 1
+    FINITE_DIFF = 2
+    ANALYTIC = 3
+    ANALYTIC_CHECK = 4
+
+
+class Solution(NamedTuple):
+    """Full solver output (the reference returns the first three,
+    mpc/mpc.py:337; the rest are the per-example diagnostics the
+    reference only logs, mpc/mpc.py:287-297)."""
+    x: jax.Array            # [T, n_state] optimal states
+    u: jax.Array            # [T, n_ctrl] optimal controls
+    costs: jax.Array        # scalar: best total objective
+    full_du_norm: jax.Array  # scalar: last undamped step norm
+    n_iter: jax.Array       # iLQR iterations performed
+    n_qp_iter: jax.Array    # total PNQP iterations
+    converged: jax.Array    # bool: full_du_norm < eps
+    mean_alpha: jax.Array   # last accepted line-search step
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Static solver configuration (reference mpc/mpc.py:123-144).
+
+    Same names and defaults as the reference constructor.  Everything
+    here is hashable so the config can be a static argument of a jitted
+    solve.  Bounds / u_init / u_zero_I / prev_ctrl are *data* and are
+    passed to the solve call instead.
+    """
+    n_state: int
+    n_ctrl: int
+    T: int
+    lqr_iter: int = 10
+    grad_method: GradMethods = GradMethods.ANALYTIC
+    delta_u: Optional[float] = None
+    verbose: int = 0
+    eps: float = 1e-7
+    back_eps: float = 1e-7
+    linesearch_decay: float = 0.2
+    max_linesearch_iter: int = 10
+    exit_unconverged: bool = True
+    detach_unconverged: bool = True
+    backprop: bool = True
+    slew_rate_penalty: Optional[float] = None
+    not_improved_lim: int = 5
+    best_cost_eps: float = 1e-4
+    pnqp_iter: int = 20
+
+    def __post_init__(self):
+        assert self.max_linesearch_iter > 0
+        assert self.lqr_iter >= 1
