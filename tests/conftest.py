@@ -1,0 +1,21 @@
+"""Test configuration: CPU backend, float64, 8 virtual devices.
+
+Oracle comparisons follow the reference's strategy (float64 throughout,
+tests/test_mpc.py seeds + tolerances); the virtual 8-device CPU mesh
+exercises the multi-chip sharding path without TPU hardware.
+"""
+
+import os
+
+# must be set before jax initializes its backends
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+# The sandbox's sitecustomize pins JAX_PLATFORMS to the TPU platform and
+# overrides the env var, so force CPU through jax.config after import.
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)

@@ -1,0 +1,158 @@
+"""Parity tests against the PyTorch reference implementation.
+
+The reference (locuslab/mpc.pytorch) is mounted read-only at
+/root/reference and torch (CPU) is available, so the strongest oracle is
+the reference itself: identical problems are solved by both frameworks
+and control sequences are compared within the BASELINE tolerance
+(max-abs u error <= 1e-3, float64).
+"""
+
+import sys
+
+import numpy as np
+import numpy.random as npr
+import numpy.testing as npt
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip('torch')
+sys.path.insert(0, '/root/reference')
+
+from mpc import mpc as ref_mpc                       # noqa: E402
+from mpc.mpc import QuadCost as RefQuadCost          # noqa: E402
+from mpc.mpc import LinDx as RefLinDx                # noqa: E402
+from mpc.mpc import GradMethods as RefGradMethods    # noqa: E402
+
+from mpc_tpu import MPC, QuadCost, LinDx, GradMethods  # noqa: E402
+from mpc_tpu.models import PendulumDx                  # noqa: E402
+
+
+def _tvlqr_problem(seed=1, n_batch=4, n_state=3, n_ctrl=4, T=5):
+    npr.seed(seed)
+    n_sc = n_state + n_ctrl
+    C = npr.randn(T, n_batch, n_sc, n_sc)
+    C = np.matmul(C.transpose(0, 1, 3, 2), C)
+    c = npr.randn(T, n_batch, n_sc)
+    alpha = 0.2
+    R = np.tile(np.eye(n_state) + alpha * npr.randn(n_state, n_state),
+                (T - 1, n_batch, 1, 1))
+    S = np.tile(npr.randn(n_state, n_ctrl), (T - 1, n_batch, 1, 1))
+    F = np.concatenate((R, S), axis=3)
+    f = np.tile(npr.randn(n_state), (T - 1, n_batch, 1))
+    x_init = npr.randn(n_batch, n_state)
+    u_lower = -npr.random((T, n_batch, n_ctrl))
+    u_upper = npr.random((T, n_batch, n_ctrl))
+    return C, c, F, f, x_init, u_lower, u_upper
+
+
+def test_parity_tvlqr_bounded():
+    n_batch, n_state, n_ctrl, T = 4, 3, 4, 5
+    C, c, F, f, x_init, lb, ub = _tvlqr_problem(
+        1, n_batch, n_state, n_ctrl, T)
+
+    tt = lambda a: torch.tensor(a, dtype=torch.float64)
+    x_ref, u_ref, _ = ref_mpc.MPC(
+        n_state, n_ctrl, T, tt(lb), tt(ub),
+        lqr_iter=20, backprop=False, exit_unconverged=False,
+        verbose=-1)(
+        tt(x_init), RefQuadCost(tt(C), tt(c)), RefLinDx(tt(F), tt(f)))
+
+    x, u, _ = MPC(n_state, n_ctrl, T, jnp.asarray(lb), jnp.asarray(ub),
+                  lqr_iter=20, backprop=False, exit_unconverged=False)(
+        jnp.asarray(x_init), QuadCost(jnp.asarray(C), jnp.asarray(c)),
+        LinDx(jnp.asarray(F), jnp.asarray(f)))
+
+    err_u = np.abs(u_ref.numpy() - np.asarray(u)).max()
+    err_x = np.abs(x_ref.numpy() - np.asarray(x)).max()
+    assert err_u <= 1e-3, f'control parity {err_u:.2e} > 1e-3'
+    assert err_x <= 1e-3, f'state parity {err_x:.2e} > 1e-3'
+
+
+def test_parity_tvlqr_unbounded():
+    n_batch, n_state, n_ctrl, T = 4, 3, 4, 5
+    C, c, F, f, x_init, _, _ = _tvlqr_problem(2, n_batch, n_state,
+                                              n_ctrl, T)
+    tt = lambda a: torch.tensor(a, dtype=torch.float64)
+    x_ref, u_ref, _ = ref_mpc.MPC(
+        n_state, n_ctrl, T, None, None,
+        lqr_iter=10, backprop=False, exit_unconverged=False,
+        verbose=-1)(
+        tt(x_init), RefQuadCost(tt(C), tt(c)), RefLinDx(tt(F), tt(f)))
+    x, u, _ = MPC(n_state, n_ctrl, T, None, None,
+                  lqr_iter=10, backprop=False, exit_unconverged=False)(
+        jnp.asarray(x_init), QuadCost(jnp.asarray(C), jnp.asarray(c)),
+        LinDx(jnp.asarray(F), jnp.asarray(f)))
+    npt.assert_allclose(u_ref.numpy(), np.asarray(u), atol=1e-3)
+
+
+class _TorchPendulum(torch.nn.Module):
+    """The reference pendulum forward (mpc/env_dx/pendulum.py:49-84)
+    re-stated for the parity test (gym-free)."""
+
+    def __init__(self):
+        super().__init__()
+        self.params = torch.tensor([10., 1., 1.], dtype=torch.float64)
+
+    def forward(self, x, u):
+        g, m, l = torch.unbind(self.params)
+        dt = 0.05
+        u = torch.clamp(u, -2., 2.)[:, 0]
+        cos_th, sin_th, dth = torch.unbind(x, dim=1)
+        th = torch.atan2(sin_th, cos_th)
+        newdth = dth + dt * (-3. * g / (2. * l) * (-sin_th)
+                             + 3. * u / (m * l ** 2))
+        newth = th + newdth * dt
+        return torch.stack(
+            (torch.cos(newth), torch.sin(newth), newdth), dim=1)
+
+
+def test_parity_pendulum_model_step():
+    """Dynamics parity: one step of our PendulumDx equals the reference's."""
+    dx = PendulumDx()
+    tp = _TorchPendulum()
+    npr.seed(3)
+    x = npr.randn(16, 3)
+    u = npr.randn(16, 1)
+    ours = np.asarray(dx(jnp.asarray(x), jnp.asarray(u)))
+    theirs = tp(torch.tensor(x), torch.tensor(u)).numpy()
+    npt.assert_allclose(ours, theirs, atol=1e-12)
+
+
+def test_parity_pendulum_solve():
+    """Full solve parity on the pendulum swing-up (BASELINE config 2
+    shrunk): max-abs u error <= 1e-3 at the same horizon and iteration
+    budget."""
+    n_batch, T = 4, 15
+    dx = PendulumDx()
+    tp = _TorchPendulum()
+
+    npr.seed(4)
+    th = np.pi * (2 * npr.random(n_batch) - 1) * 0.9
+    x0 = np.stack([np.cos(th), np.sin(th), np.zeros(n_batch)], axis=1)
+
+    q, p = dx.get_true_obj()
+    Q = np.diag(np.asarray(q))
+    pn = np.asarray(p)
+
+    tt = lambda a: torch.tensor(a, dtype=torch.float64)
+    x_ref, u_ref, _ = ref_mpc.MPC(
+        3, 1, T, -2.0, 2.0,
+        lqr_iter=10, backprop=False, exit_unconverged=False,
+        detach_unconverged=False, verbose=-1, n_batch=n_batch,
+        eps=1e-4,
+        grad_method=RefGradMethods.AUTO_DIFF,
+        linesearch_decay=0.2, max_linesearch_iter=5)(
+        tt(x0), RefQuadCost(tt(Q), tt(pn)), tp.double())
+
+    x, u, _ = MPC(3, 1, T, -2.0, 2.0,
+                  lqr_iter=10, backprop=False, exit_unconverged=False,
+                  detach_unconverged=False, n_batch=n_batch,
+                  eps=1e-4,
+                  grad_method=GradMethods.AUTO_DIFF,
+                  linesearch_decay=0.2, max_linesearch_iter=5)(
+        jnp.asarray(x0), QuadCost(jnp.asarray(Q), jnp.asarray(pn)), dx)
+
+    err = np.abs(u_ref.detach().numpy() - np.asarray(u)).max()
+    assert err <= 1e-3, f'pendulum control parity {err:.2e} > 1e-3'

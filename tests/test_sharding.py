@@ -1,0 +1,99 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed story (SURVEY.md section 2.3); these
+validate the TPU-native scale-out: batch-sharded solves must be
+bit-comparable to single-device solves, and sharded gradient reductions
+must match.
+"""
+
+import numpy as np
+import numpy.random as npr
+import numpy.testing as npt
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu import MPC, MPCConfig, QuadCost, LinDx, GradMethods
+from mpc_tpu.parallel import make_mesh, solve_sharded
+from mpc_tpu.models import PendulumDx
+
+
+def _problem(n_batch, seed=1, n_state=3, n_ctrl=4, T=5):
+    npr.seed(seed)
+    n_sc = n_state + n_ctrl
+    C = npr.randn(T, n_batch, n_sc, n_sc)
+    C = np.matmul(C.transpose(0, 1, 3, 2), C)
+    c = npr.randn(T, n_batch, n_sc)
+    alpha = 0.2
+    R = np.tile(np.eye(n_state) + alpha * npr.randn(n_state, n_state),
+                (T - 1, n_batch, 1, 1))
+    S = np.tile(npr.randn(n_state, n_ctrl), (T - 1, n_batch, 1, 1))
+    F = np.concatenate((R, S), axis=3)
+    f = np.tile(npr.randn(n_state), (T - 1, n_batch, 1))
+    x_init = npr.randn(n_batch, n_state)
+    u_lower = -npr.random((T, n_batch, n_ctrl))
+    u_upper = npr.random((T, n_batch, n_ctrl))
+    return C, c, F, f, x_init, u_lower, u_upper
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_solve_matches_single_device():
+    n_batch = 16
+    n_state, n_ctrl, T = 3, 4, 5
+    C, c, F, f, x_init, lb, ub = _tuple = _problem(n_batch)
+
+    cfg = MPCConfig(n_state=n_state, n_ctrl=n_ctrl, T=T, lqr_iter=20,
+                    exit_unconverged=False)
+    mesh = make_mesh()
+    sol_sharded = solve_sharded(
+        cfg, mesh,
+        jnp.asarray(x_init),
+        QuadCost(jnp.asarray(C), jnp.asarray(c)),
+        LinDx(jnp.asarray(F), jnp.asarray(f)),
+        u_lower=jnp.asarray(lb), u_upper=jnp.asarray(ub))
+
+    x1, u1, costs1 = MPC(
+        n_state, n_ctrl, T, jnp.asarray(lb), jnp.asarray(ub),
+        lqr_iter=20, backprop=False, exit_unconverged=False)(
+        jnp.asarray(x_init), QuadCost(jnp.asarray(C), jnp.asarray(c)),
+        LinDx(jnp.asarray(F), jnp.asarray(f)))
+
+    npt.assert_allclose(np.asarray(sol_sharded.u), np.asarray(u1),
+                        atol=1e-10)
+    npt.assert_allclose(np.asarray(sol_sharded.costs), np.asarray(costs1),
+                        atol=1e-10)
+    # the output really is sharded over the mesh
+    assert len(sol_sharded.u.sharding.device_set) == 8
+
+
+def test_sharded_nonlinear_solve():
+    n_batch, T = 16, 10
+    dx = PendulumDx()
+    npr.seed(5)
+    th = np.pi * (2 * npr.random(n_batch) - 1) * 0.9
+    x0 = np.stack([np.cos(th), np.sin(th), np.zeros(n_batch)], axis=1)
+    q, p = dx.get_true_obj()
+    C = np.tile(np.diag(np.asarray(q)), (T, n_batch, 1, 1))
+    c = np.tile(np.asarray(p), (T, n_batch, 1))
+    lb = np.full((T, n_batch, 1), -2.0)
+    ub = np.full((T, n_batch, 1), 2.0)
+
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=10,
+                    grad_method=GradMethods.AUTO_DIFF,
+                    exit_unconverged=False, detach_unconverged=False,
+                    eps=1e-4, linesearch_decay=0.2, max_linesearch_iter=5)
+    mesh = make_mesh()
+    sol = solve_sharded(cfg, mesh, jnp.asarray(x0),
+                        QuadCost(jnp.asarray(C), jnp.asarray(c)), dx,
+                        u_lower=jnp.asarray(lb), u_upper=jnp.asarray(ub))
+
+    x1, u1, _ = MPC(3, 1, T, jnp.asarray(lb), jnp.asarray(ub),
+                    lqr_iter=10, grad_method=GradMethods.AUTO_DIFF,
+                    backprop=False, exit_unconverged=False,
+                    detach_unconverged=False, eps=1e-4,
+                    linesearch_decay=0.2, max_linesearch_iter=5)(
+        jnp.asarray(x0), QuadCost(jnp.asarray(C), jnp.asarray(c)), dx)
+    npt.assert_allclose(np.asarray(sol.u), np.asarray(u1), atol=1e-10)
