@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json config 2 / north star): batched pendulum
+swing-up MPC solves/sec on one chip - T=20, lqr_iter=10 fixed budget,
+box constraints +-2, PNQP inner solver, AUTO_DIFF (jacrev) linearization,
+float32.
+
+vs_baseline is the ratio to the PyTorch reference running the identical
+workload on this host's CPU (the reference publishes no numbers -
+BASELINE.md); the measured denominator is cached in BENCH_BASELINE.json.
+
+Usage:
+  python bench.py                 # headline metric, one JSON line
+  python bench.py --all           # also run the other BASELINE configs
+  python bench.py --remeasure-baseline
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def _pendulum_inputs(B, T, dtype):
+    import jax.numpy as jnp
+    from mpc_tpu.models import PendulumDx
+
+    dx = PendulumDx()
+    rng = np.random.RandomState(0)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1), dtype)
+    q, p = dx.get_true_obj()
+    C = jnp.broadcast_to(jnp.diag(q).astype(dtype), (T, B, 4, 4))
+    c = jnp.broadcast_to(jnp.asarray(p, dtype), (T, B, 4))
+    lb = jnp.full((T, B, 1), -2.0, dtype)
+    ub = jnp.full((T, B, 1), 2.0, dtype)
+    return dx, x0, C, c, lb, ub
+
+
+def bench_pendulum(B=4096, T=20, iters=10, warmup=2):
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu import MPCConfig, QuadCost, GradMethods
+    from mpc_tpu.learning import batched_solve
+
+    dtype = jnp.float32
+    dx, _, C, c, lb, ub = _pendulum_inputs(B, T, dtype)
+    cfg = MPCConfig(
+        n_state=3, n_ctrl=1, T=T, lqr_iter=10,
+        grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+        exit_unconverged=False, detach_unconverged=False, backprop=False,
+        linesearch_decay=0.2, max_linesearch_iter=5)
+
+    fn = jax.jit(lambda x0: batched_solve(
+        cfg, x0, QuadCost(C, c), dx, u_lower=lb, u_upper=ub).u)
+
+    # distinct inputs per iteration: the remote-execution layer dedupes
+    # repeated identical executions, which would fake the timing
+    rng = np.random.RandomState(0)
+    x0s = []
+    for _ in range(warmup + iters):
+        th = np.pi * (2 * rng.rand(B) - 1)
+        x0s.append(jnp.asarray(
+            np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1), dtype))
+
+    for k in range(warmup):
+        jax.block_until_ready(fn(x0s[k]))
+    # async-pipelined: submit all batches, sync once (per-call blocking
+    # would charge the ~30ms tunnel round-trip to every batch)
+    t0 = time.perf_counter()
+    outs = [fn(x0s[k]) for k in range(warmup, warmup + iters)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / iters
+    return B / dt, dt
+
+
+def measure_reference_baseline(B=256, T=20, runs=3):
+    """Run the PyTorch reference on the identical workload (CPU)."""
+    sys.path.insert(0, '/root/reference')
+    import torch
+    torch.set_num_threads(max(1, os.cpu_count()))
+    from mpc import mpc as ref_mpc
+    from mpc.mpc import QuadCost, GradMethods
+
+    class TorchPendulum(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.params = torch.tensor([10., 1., 1.])
+
+        def forward(self, x, u):
+            g, m, l = torch.unbind(self.params)
+            dt = 0.05
+            u = torch.clamp(u, -2., 2.)[:, 0]
+            cos_th, sin_th, dth = torch.unbind(x, dim=1)
+            newdth = dth + dt * (-3. * g / (2. * l) * (-sin_th)
+                                 + 3. * u / (m * l ** 2))
+            newth = torch.atan2(sin_th, cos_th) + newdth * dt
+            return torch.stack(
+                (torch.cos(newth), torch.sin(newth), newdth), dim=1)
+
+    rng = np.random.RandomState(0)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = torch.tensor(np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1),
+                      dtype=torch.float32)
+    Q = torch.diag(torch.tensor([1., 1., 0.1, 0.001]))
+    p = torch.tensor([-1., 0., 0., 0.])
+    dx = TorchPendulum()
+
+    def solve():
+        ctrl = ref_mpc.MPC(3, 1, T, -2.0, 2.0, lqr_iter=10, n_batch=B,
+                           backprop=False, exit_unconverged=False,
+                           detach_unconverged=False, verbose=-1, eps=0.0,
+                           grad_method=GradMethods.AUTO_DIFF,
+                           linesearch_decay=0.2, max_linesearch_iter=5)
+        return ctrl(x0, QuadCost(Q, p), dx)
+
+    solve()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        solve()
+    dt = (time.perf_counter() - t0) / runs
+    return B / dt
+
+
+def _baseline_value(remeasure=False):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'BENCH_BASELINE.json')
+    if not remeasure and os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)['reference_solves_per_sec']
+    try:
+        val = measure_reference_baseline()
+        with open(path, 'w') as fh:
+            json.dump({
+                'metric': 'pendulum MPC solves/sec (T=20, lqr_iter=10, '
+                          'fixed budget, float32)',
+                'reference_solves_per_sec': round(val, 1),
+                'provenance': 'measured by bench.py on this host',
+            }, fh, indent=2)
+        return val
+    except Exception:
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=4096)
+    ap.add_argument('--iters', type=int, default=10)
+    ap.add_argument('--remeasure-baseline', action='store_true')
+    ap.add_argument('--all', action='store_true',
+                    help='also run the secondary BASELINE configs')
+    args = ap.parse_args()
+
+    solves_per_sec, dt = bench_pendulum(B=args.batch, iters=args.iters)
+    base = _baseline_value(args.remeasure_baseline)
+    vs = (solves_per_sec / base) if base else None
+
+    if args.all:
+        from benchmarks.configs import run_all_secondary
+        run_all_secondary()
+
+    print(json.dumps({
+        'metric': 'pendulum_mpc_solves_per_sec_per_chip',
+        'value': round(solves_per_sec, 1),
+        'unit': f'solves/s (B={args.batch}, T=20, lqr_iter=10, f32)',
+        'vs_baseline': round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()

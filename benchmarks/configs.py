@@ -1,0 +1,163 @@
+"""Secondary benchmark configs (BASELINE.json configs 1, 3, 4, 5).
+
+Each prints one JSON line; the headline pendulum config lives in
+bench.py at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _time(fn, args_list, iters=None, warmup=2):
+    """Time fn over a list of DISTINCT argument tuples (the tunneled TPU
+    runtime dedupes repeated identical executions, so identical-input
+    timing loops report fantasy numbers)."""
+    import jax
+    iters = len(args_list) - warmup if iters is None else iters
+    for k in range(warmup):
+        jax.block_until_ready(fn(*args_list[k]))
+    t0 = time.perf_counter()
+    for k in range(warmup, warmup + iters):
+        jax.block_until_ready(fn(*args_list[k]))
+    return (time.perf_counter() - t0) / iters
+
+
+def _perturb(rng, arrays, index=0, scale=1e-3):
+    """Produce n distinct argument tuples by perturbing one array."""
+    import jax.numpy as jnp
+    outs = []
+    base = [jnp.asarray(a) for a in arrays]
+    for _ in range(7):
+        a = list(base)
+        noise = scale * rng.randn(*np.shape(arrays[index])).astype(
+            np.asarray(arrays[index]).dtype)
+        a[index] = jnp.asarray(np.asarray(arrays[index]) + noise)
+        outs.append(tuple(a))
+    return outs
+
+
+def bench_tvlqr(B=128, n_state=3, n_ctrl=4, T=5):
+    """Config 1: random batched TVLQR, unconstrained (exact Riccati)."""
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu import MPCConfig, QuadCost, LinDx
+    from mpc_tpu.learning import batched_solve
+
+    dtype = jnp.float32
+    n_sc = n_state + n_ctrl
+    rng = np.random.RandomState(1)
+    C = rng.randn(T, B, n_sc, n_sc).astype(np.float32)
+    C = np.einsum('tbij,tbkj->tbik', C, C)
+    c = rng.randn(T, B, n_sc).astype(np.float32)
+    F = np.concatenate([
+        np.tile(np.eye(n_state, dtype=np.float32), (T - 1, B, 1, 1))
+        + 0.1 * rng.randn(T - 1, B, n_state, n_state).astype(np.float32),
+        0.5 * rng.randn(T - 1, B, n_state, n_ctrl).astype(np.float32)], 3)
+    f = rng.randn(T - 1, B, n_state).astype(np.float32)
+    x0 = rng.randn(B, n_state).astype(np.float32)
+
+    cfg = MPCConfig(n_state=n_state, n_ctrl=n_ctrl, T=T, lqr_iter=10,
+                    eps=0.0, exit_unconverged=False,
+                    detach_unconverged=False, backprop=False)
+    fn = jax.jit(lambda x0, C, c, F, f: batched_solve(
+        cfg, x0, QuadCost(C, c), LinDx(F, f)).u)
+    dt = _time(fn, _perturb(rng, (x0, C, c, F, f), index=0))
+    return {'metric': 'tvlqr_solves_per_sec', 'value': round(B / dt, 1),
+            'unit': f'solves/s (B={B}, T={T}, {n_state}s/{n_ctrl}c, f32)'}
+
+
+def bench_cartpole(B=512, T=25):
+    """Config 3: cartpole, box-constrained, ANALYTIC linearization."""
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu import MPCConfig, QuadCost, GradMethods
+    from mpc_tpu.learning import batched_solve
+    from mpc_tpu.models import CartpoleDx
+
+    dtype = jnp.float32
+    dx = CartpoleDx()
+    rng = np.random.RandomState(2)
+    th = 0.5 * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack(
+        [np.zeros(B), np.zeros(B), np.cos(th), np.sin(th),
+         np.zeros(B)], 1), dtype)
+    q, p = dx.get_true_obj()
+    C = jnp.broadcast_to(jnp.diag(q).astype(dtype), (T, B, 6, 6))
+    c = jnp.broadcast_to(jnp.asarray(p, dtype), (T, B, 6))
+    lb = jnp.full((T, B, 1), -100.0, dtype)
+    ub = jnp.full((T, B, 1), 100.0, dtype)
+
+    cfg = MPCConfig(n_state=5, n_ctrl=1, T=T, lqr_iter=10,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.5,
+                    max_linesearch_iter=2)
+    fn = jax.jit(lambda x0, C, c, lb, ub: batched_solve(
+        cfg, x0, QuadCost(C, c), dx, u_lower=lb, u_upper=ub).u)
+    dt = _time(fn, _perturb(rng, (x0, C, c, lb, ub), index=0))
+    return {'metric': 'cartpole_solves_per_sec', 'value': round(B / dt, 1),
+            'unit': f'solves/s (B={B}, T={T}, f32)'}
+
+
+def bench_imitation(B=1024, T=10):
+    """Config 4: differentiable-MPC imitation learning step throughput."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mpc_tpu import MPCConfig, QuadCost, GradMethods
+    from mpc_tpu.learning import TrainState, make_imitation_train_step
+    from mpc_tpu.models import PendulumDx
+
+    dtype = jnp.float32
+    dx = PendulumDx()
+    rng = np.random.RandomState(3)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack(
+        [np.cos(th), np.sin(th), np.zeros(B)], 1), dtype)
+    u_expert = jnp.asarray(np.clip(rng.randn(T, B, 1), -2, 2), dtype)
+    lb = jnp.full((T, B, 1), -2.0, dtype)
+    ub = jnp.full((T, B, 1), 2.0, dtype)
+
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=5,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    linesearch_decay=0.2, max_linesearch_iter=3)
+
+    q, p = dx.get_true_obj()
+    theta0 = {'q_log': jnp.log(jnp.asarray(q, dtype) + 1e-3),
+              'p': jnp.asarray(p, dtype)}
+
+    def make_cost(theta):
+        C = jnp.broadcast_to(jnp.diag(jnp.exp(theta['q_log'])),
+                             (T, B, 4, 4))
+        c = jnp.broadcast_to(theta['p'], (T, B, 4))
+        return QuadCost(C, c)
+
+    opt = optax.adam(1e-2)
+    step = make_imitation_train_step(cfg, opt, make_cost, lambda th: dx,
+                                     u_lower=lb, u_upper=ub)
+    state = TrainState(theta0, opt.init(theta0), jnp.asarray(0))
+
+    def fn(state, x0, u_expert):
+        st, loss = step(state, x0, u_expert)
+        return loss
+    args_list = [(state, x, u_expert)
+                 for (x,) in [(a[1],) for a in _perturb(
+                     rng, (u_expert, x0), index=1)]]
+    dt = _time(fn, args_list)
+    return {'metric': 'imitation_examples_per_sec',
+            'value': round(B / dt, 1),
+            'unit': f'examples/s fwd+bwd (B={B}, T={T}, f32)'}
+
+
+def run_all_secondary():
+    for fn in [bench_tvlqr, bench_cartpole, bench_imitation]:
+        print(json.dumps(fn()))
+
+
+if __name__ == '__main__':
+    run_all_secondary()

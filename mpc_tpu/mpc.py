@@ -87,7 +87,8 @@ class MPC:
                  prev_ctrl=None,
                  not_improved_lim=5,
                  best_cost_eps=1e-4,
-                 pnqp_iter=20):
+                 pnqp_iter=20,
+                 parallel_linesearch=True):
         assert (u_lower is None) == (u_upper is None)
         assert max_linesearch_iter > 0
 
@@ -115,7 +116,8 @@ class MPC:
                                if slew_rate_penalty is not None else None),
             not_improved_lim=not_improved_lim,
             best_cost_eps=best_cost_eps,
-            pnqp_iter=pnqp_iter)
+            pnqp_iter=pnqp_iter,
+            parallel_linesearch=parallel_linesearch)
         self._cache = {}
 
     # -- properties mirroring the reference attribute surface -------------

@@ -257,6 +257,7 @@ def lqr_forward(
     u_lower=None, u_upper=None, u_zero_I=None, delta_u=None,
     linesearch_decay: float = 0.2,
     max_linesearch_iter: int = 10,
+    parallel_linesearch: bool = True,
 ):
     """Line-searched forward rollout (reference mpc/lqr_step.py:164-261).
 
@@ -268,6 +269,12 @@ def lqr_forward(
     (reference exits the loop and keeps ``new_x``/``new_u``), and the
     reported alpha is the one used for that trajectory (the reference
     decays then un-decays, mpc/lqr_step.py:247-252).
+
+    With ``parallel_linesearch`` (the TPU default) the deterministic
+    step-size schedule 1, d, d^2, ... is rolled out in one vmapped pass
+    and the first cost-decreasing candidate is selected - identical
+    result to the sequential search, but one scan over the horizon
+    instead of up to ``max_linesearch_iter``.
     """
     # currently unimplemented in the reference too (mpc/lqr_step.py:195)
     assert not ((delta_u is not None) and (u_lower is None))
@@ -281,6 +288,19 @@ def lqr_forward(
         delta_u=delta_u)
 
     dtype = u.dtype
+
+    if parallel_linesearch:
+        alphas = jnp.asarray(linesearch_decay, dtype) ** \
+            jnp.arange(max_linesearch_iter, dtype=dtype)
+        nxs, nus, objss = jax.vmap(lambda a: roll(alpha=a))(alphas)
+        costs = jnp.sum(objss, axis=1)
+        full_du_norm = jnp.linalg.norm((u - nus[0]).ravel())
+        passing = costs <= old_cost
+        kidx = jnp.where(jnp.any(passing), jnp.argmax(passing),
+                         max_linesearch_iter - 1)
+        return ForwardOut(nxs[kidx], nus[kidx], objss[kidx],
+                          full_du_norm, alphas[kidx], costs[kidx])
+
     new_x1, new_u1, objs1 = roll(alpha=jnp.asarray(1.0, dtype))
     full_du_norm = jnp.linalg.norm((u - new_u1).ravel())
 
@@ -316,6 +336,7 @@ def lqr_step_delta(
     linesearch_decay: float = 0.2,
     max_linesearch_iter: int = 10,
     pnqp_iter: int = 20,
+    parallel_linesearch: bool = True,
 ):
     """One full LQR step in delta space: Riccati + line-searched rollout.
 
@@ -340,7 +361,8 @@ def lqr_step_delta(
         u_lower=u_lower, u_upper=u_upper, u_zero_I=u_zero_I,
         delta_u=delta_u,
         linesearch_decay=linesearch_decay,
-        max_linesearch_iter=max_linesearch_iter)
+        max_linesearch_iter=max_linesearch_iter,
+        parallel_linesearch=parallel_linesearch)
 
     return fwd, back.n_qp_iter
 

@@ -66,7 +66,30 @@ def _obj(H, q, x):
     return 0.5 * linalg.bquad(x, H) + linalg.bdot(q, x)
 
 
-def pnqp(H, q, lower, upper, x_init=None, n_iter=20):
+def pnqp_1d(H, q, lower, upper):
+    """Closed-form 1-D box QP: x* = clamp(-q/H, lower, upper).
+
+    For a single control (the pendulum/cartpole hot path) the projected
+    Newton iteration is unnecessary - the scalar box QP has an exact
+    solution, which is the fixed point the reference's loop converges to
+    (mpc/pnqp.py with n==1).  This removes ~200 sequential VPU ops per
+    Riccati step, the dominant cost on TPU where dispatch latency of tiny
+    ops, not FLOPs, bounds the solver.
+    """
+    dtype = H.dtype
+    h = H[0, 0]
+    xn = -q / h
+    x = jnp.clip(xn, lower, upper)
+    g = h * x + q
+    clamped = ((x == lower) & (g > 0)) | ((x == upper) & (g < 0))
+    free = ~clamped
+    H_free = linalg.masked_free_matrix(H, free)
+    return PnqpResult(x, H_free, free,
+                      jnp.asarray(1, jnp.int32), jnp.asarray(True))
+
+
+def pnqp(H, q, lower, upper, x_init=None, n_iter=20,
+         parallel_armijo: bool = True):
     """Solve a single box QP; vmap for a batch.
 
     Args:
@@ -76,6 +99,10 @@ def pnqp(H, q, lower, upper, x_init=None, n_iter=20):
       x_init: optional (n,) warm start (e.g. the previous Riccati step's
         ``k_t``, reference mpc/lqr_step.py:135-137).
       n_iter: max Newton iterations (static).
+      parallel_armijo: evaluate the whole deterministic step-size decay
+        schedule at once and select the first passing trial instead of
+        looping - identical result (the schedule is fixed), ~10x less
+        sequential depth per Newton iteration on TPU.
 
     Returns:
       PnqpResult(x, H_free, free, n_iter, converged).
@@ -84,6 +111,9 @@ def pnqp(H, q, lower, upper, x_init=None, n_iter=20):
     dtype = H.dtype
     lower = jnp.broadcast_to(jnp.asarray(lower, dtype), (n,))
     upper = jnp.broadcast_to(jnp.asarray(upper, dtype), (n,))
+
+    if n == 1:
+        return pnqp_1d(H, q, lower, upper)
 
     if x_init is None:
         # Newton point of the unconstrained problem, clamped
@@ -100,11 +130,32 @@ def pnqp(H, q, lower, upper, x_init=None, n_iter=20):
         dx = -linalg.solve_sym(H_free, g_free)
         return dx, g, H_free, free
 
-    def armijo_search(x, dx, g):
-        # Reference mpc/pnqp.py:61-78, translated per-instance: keep
-        # decaying alpha until the Armijo ratio exceeds GAMMA or 10 trials
-        # elapse; the trial point computed *before* the final decay is
-        # the accepted iterate.
+    def armijo_search_parallel(x, dx, g):
+        # The reference decays alpha through the fixed schedule
+        # 1, 0.1, ..., 0.1^9 until the Armijo ratio exceeds GAMMA,
+        # accepting the first passing trial (or the last computed when
+        # the 10-trial cap is hit, mpc/pnqp.py:61-78).  Because the
+        # schedule is deterministic, all trials can be evaluated at once
+        # and the first passing one selected - identical result, no
+        # sequential inner loop.
+        alphas = LS_DECAY ** jnp.arange(MAX_LS_ITER, dtype=dtype)
+
+        def trial(alpha):
+            x_trial = linalg.eclamp(x + alpha * dx, lower, upper)
+            num = _obj(H, q, x) - _obj(H, q, x_trial)
+            den = linalg.bdot(g, x - x_trial)
+            armijo = jnp.where(jnp.abs(den) < 1e-30,
+                               jnp.asarray(GAMMA + 1e-6, dtype), num / den)
+            return x_trial, armijo
+
+        x_trials, armijos = jax.vmap(trial)(alphas)
+        passing = armijos > GAMMA
+        k = jnp.where(jnp.any(passing), jnp.argmax(passing),
+                      MAX_LS_ITER - 1)
+        return x_trials[k]
+
+    def armijo_search_seq(x, dx, g):
+        # reference-shaped sequential loop (kept for comparison/debug)
         class LS(NamedTuple):
             alpha: jax.Array
             armijo: jax.Array
@@ -127,6 +178,9 @@ def pnqp(H, q, lower, upper, x_init=None, n_iter=20):
                   jnp.asarray(0, jnp.int32), x)
         out = lax.while_loop(cond, body, init)
         return out.x_trial
+
+    armijo_search = (armijo_search_parallel if parallel_armijo
+                     else armijo_search_seq)
 
     def cond(s: _State):
         return (~s.done) & (s.i < n_iter)

@@ -248,7 +248,8 @@ def _subproblem_step(cfg: MPCConfig, x_init, C, c, F, f, x, u,
             delta_u=cfg.delta_u,
             linesearch_decay=cfg.linesearch_decay,
             max_linesearch_iter=cfg.max_linesearch_iter,
-            pnqp_iter=cfg.pnqp_iter)
+            pnqp_iter=cfg.pnqp_iter,
+            parallel_linesearch=cfg.parallel_linesearch)
         return fwd, n_qp
 
     sp = _augment_slew(cfg, C, c, F, f, x_init, x, u, cost, dynamics,
@@ -261,7 +262,8 @@ def _subproblem_step(cfg: MPCConfig, x_init, C, c, F, f, x, u,
         delta_u=cfg.delta_u,
         linesearch_decay=cfg.linesearch_decay,
         max_linesearch_iter=cfg.max_linesearch_iter,
-        pnqp_iter=cfg.pnqp_iter)
+        pnqp_iter=cfg.pnqp_iter,
+        parallel_linesearch=cfg.parallel_linesearch)
     # strip the (u_{t-1}) part of the augmented state (reference mpc/mpc.py:444)
     fwd = fwd._replace(new_x=fwd.new_x[:, cfg.n_ctrl:])
     return fwd, n_qp

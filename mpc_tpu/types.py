@@ -90,6 +90,10 @@ class MPCConfig:
     not_improved_lim: int = 5
     best_cost_eps: float = 1e-4
     pnqp_iter: int = 20
+    # TPU-native option: evaluate the deterministic line-search schedule
+    # in one vmapped rollout instead of a sequential retry loop
+    # (identical results, far less sequential depth).
+    parallel_linesearch: bool = True
 
     def __post_init__(self):
         assert self.max_linesearch_iter > 0
