@@ -62,6 +62,7 @@ def riccati_backward(
     u_zero_I=None,
     delta_u=None,
     pnqp_iter: int = 20,
+    unroll: int = 1,
 ):
     """Time-reversed Riccati recursion producing (K_t, k_t).
 
@@ -164,7 +165,7 @@ def riccati_backward(
         jnp.asarray(0, jnp.int32),
     )
     xs = (C, c, Fp, u, zl, zu, zz)
-    carry, (Ks, ks) = lax.scan(step, init, xs, reverse=True)
+    carry, (Ks, ks) = lax.scan(step, init, xs, reverse=True, unroll=unroll)
     return RiccatiOut(Ks, ks, carry[4])
 
 
@@ -172,6 +173,7 @@ def _rollout(
     alpha, x_init, x, u, K, k,
     true_cost, true_dynamics,
     u_lower=None, u_upper=None, u_zero_I=None, delta_u=None,
+    unroll: int = 1,
 ):
     """One forward pass at step size ``alpha``.
 
@@ -235,7 +237,7 @@ def _rollout(
     ts = jnp.arange(T)
     init = (x_init, jnp.zeros_like(x_init))
     _, (new_x, new_u, objs) = lax.scan(
-        step, init, (ts, K, k, u, x_next))
+        step, init, (ts, K, k, u, x_next), unroll=unroll)
     return new_x, new_u, objs
 
 
@@ -258,6 +260,7 @@ def lqr_forward(
     linesearch_decay: float = 0.2,
     max_linesearch_iter: int = 10,
     parallel_linesearch: bool = True,
+    unroll: int = 1,
 ):
     """Line-searched forward rollout (reference mpc/lqr_step.py:164-261).
 
@@ -285,7 +288,7 @@ def lqr_forward(
         _rollout, x_init=x_init, x=x, u=u, K=K, k=k,
         true_cost=true_cost, true_dynamics=true_dynamics,
         u_lower=u_lower, u_upper=u_upper, u_zero_I=u_zero_I,
-        delta_u=delta_u)
+        delta_u=delta_u, unroll=unroll)
 
     dtype = u.dtype
 
@@ -337,6 +340,7 @@ def lqr_step_delta(
     max_linesearch_iter: int = 10,
     pnqp_iter: int = 20,
     parallel_linesearch: bool = True,
+    unroll: int = 1,
 ):
     """One full LQR step in delta space: Riccati + line-searched rollout.
 
@@ -353,7 +357,7 @@ def lqr_step_delta(
         C, c_back, F, u, n_state=n_state,
         u_lower=u_lower, u_upper=u_upper,
         u_zero_I=u_zero_I, delta_u=delta_u,
-        pnqp_iter=pnqp_iter)
+        pnqp_iter=pnqp_iter, unroll=unroll)
 
     fwd = lqr_forward(
         x_init, x, u, back.K, back.k,
@@ -362,7 +366,8 @@ def lqr_step_delta(
         delta_u=delta_u,
         linesearch_decay=linesearch_decay,
         max_linesearch_iter=max_linesearch_iter,
-        parallel_linesearch=parallel_linesearch)
+        parallel_linesearch=parallel_linesearch,
+        unroll=unroll)
 
     return fwd, back.n_qp_iter
 

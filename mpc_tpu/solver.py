@@ -249,7 +249,8 @@ def _subproblem_step(cfg: MPCConfig, x_init, C, c, F, f, x, u,
             linesearch_decay=cfg.linesearch_decay,
             max_linesearch_iter=cfg.max_linesearch_iter,
             pnqp_iter=cfg.pnqp_iter,
-            parallel_linesearch=cfg.parallel_linesearch)
+            parallel_linesearch=cfg.parallel_linesearch,
+            unroll=cfg.scan_unroll)
         return fwd, n_qp
 
     sp = _augment_slew(cfg, C, c, F, f, x_init, x, u, cost, dynamics,
@@ -263,7 +264,8 @@ def _subproblem_step(cfg: MPCConfig, x_init, C, c, F, f, x, u,
         linesearch_decay=cfg.linesearch_decay,
         max_linesearch_iter=cfg.max_linesearch_iter,
         pnqp_iter=cfg.pnqp_iter,
-        parallel_linesearch=cfg.parallel_linesearch)
+        parallel_linesearch=cfg.parallel_linesearch,
+        unroll=cfg.scan_unroll)
     # strip the (u_{t-1}) part of the augmented state (reference mpc/mpc.py:444)
     fwd = fwd._replace(new_x=fwd.new_x[:, cfg.n_ctrl:])
     return fwd, n_qp

@@ -94,6 +94,10 @@ class MPCConfig:
     # in one vmapped rollout instead of a sequential retry loop
     # (identical results, far less sequential depth).
     parallel_linesearch: bool = True
+    # lax.scan unroll factor for the horizon loops; each scan step costs
+    # ~10us of loop overhead on TPU, so unrolling lets XLA fuse across
+    # time steps (identical results).
+    scan_unroll: int = 4
 
     def __post_init__(self):
         assert self.max_linesearch_iter > 0
