@@ -29,8 +29,31 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
     arrays are time-major [T, B, ...] (the reference layout,
     mpc/mpc.py:185-186).  Cost/dynamics given as callables are shared
     across the batch.
+
+    On TPU, problems in the fused-kernel scope (n_ctrl=1, quadratic
+    cost, SoA dynamics, no backprop - ops/fused.py:supports) dispatch to
+    the single-kernel Pallas solver; everything else runs the vmapped
+    jnp path.  ``cfg.use_fused`` overrides.
     """
     from .types import LinDx, QuadCost
+
+    if cfg.use_fused != 'never':
+        from .ops import fused
+        in_scope = fused.supports(cfg, cost, dynamics,
+                                  dtype=jnp.asarray(x_init).dtype)
+        on_tpu = jax.default_backend() == 'tpu'
+        if cfg.use_fused == 'always':
+            if not in_scope:
+                raise ValueError('use_fused="always" but the problem is '
+                                 'outside the fused-kernel scope '
+                                 '(see ops/fused.py:supports)')
+            return fused.fused_batched_solve(
+                cfg, x_init, cost, dynamics, u_init=u_init,
+                u_lower=u_lower, u_upper=u_upper)
+        if in_scope and on_tpu:
+            return fused.fused_batched_solve(
+                cfg, x_init, cost, dynamics, u_init=u_init,
+                u_lower=u_lower, u_upper=u_upper)
 
     def one(x0, cost_i, dyn_i, u0, lb, ub):
         return solve_single(cfg, x0, cost_i, dyn_i, u_init=u0,

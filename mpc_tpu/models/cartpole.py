@@ -71,6 +71,31 @@ class CartpoleDx:
         return jnp.stack(
             [x, dx, jnp.cos(th), jnp.sin(th), dth], axis=-1)
 
+    # -- structure-of-arrays protocol (for the fused Pallas solver) -------
+    def soa_params(self):
+        return tuple(self.params[i] for i in range(4))
+
+    def soa_step(self, xs, u, params):
+        from ..ops.math import atan2
+        gravity, masscart, masspole, length = params
+        total_mass = masspole + masscart
+        polemass_length = masspole * length
+
+        u = jnp.clip(u, -self.force_mag, self.force_mag)
+        x, dx, cos_th, sin_th, dth = xs
+        th = atan2(sin_th, cos_th)
+
+        cart_in = (u + polemass_length * dth ** 2 * sin_th) / total_mass
+        th_acc = (gravity * sin_th - cos_th * cart_in) / (
+            length * (4. / 3. - masspole * cos_th ** 2 / total_mass))
+        xacc = cart_in - polemass_length * th_acc * cos_th / total_mass
+
+        x = x + self.dt * dx
+        dx = dx + self.dt * xacc
+        th = th + self.dt * dth
+        dth = dth + self.dt * th_acc
+        return (x, dx, jnp.cos(th), jnp.sin(th), dth)
+
     def get_true_obj(self):
         """Diagonal quadratic balance objective
         (reference cartpole.py:116-124).  Returns (q, p) with

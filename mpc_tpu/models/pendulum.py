@@ -67,6 +67,34 @@ class PendulumDx:
         return jnp.stack(
             [jnp.cos(newth), jnp.sin(newth), newdth], axis=-1)
 
+    # -- structure-of-arrays protocol (for the fused Pallas solver) -------
+    # Inside a TPU kernel the batch lives on the vector lanes, so state
+    # components are separate (8, 128) component arrays rather than a
+    # trailing axis; ``soa_step`` is the same Euler step in that form.
+    def soa_params(self):
+        n = 3 if self.simple else 5
+        return tuple(self.params[i] for i in range(n))
+
+    def soa_step(self, xs, u, params):
+        from ..ops.math import atan2
+        if self.simple:
+            g, m, l = params
+        else:
+            g, m, l, d, b = params
+        cos_th, sin_th, dth = xs
+        u = jnp.clip(u, -self.max_torque, self.max_torque)
+        th = atan2(sin_th, cos_th)
+        if self.simple:
+            newdth = dth + self.dt * (
+                -3. * g / (2. * l) * (-sin_th) + 3. * u / (m * l ** 2))
+        else:
+            sin_th_bias = jnp.sin(th + b)
+            newdth = dth + self.dt * (
+                -3. * g / (2. * l) * (-sin_th_bias) + 3. * u / (m * l ** 2)
+                - d * th)
+        newth = th + newdth * self.dt
+        return (jnp.cos(newth), jnp.sin(newth), newdth)
+
     def get_true_obj(self):
         """Diagonal quadratic swing-up objective
         (reference pendulum.py:106-114).  Returns (q, p) with

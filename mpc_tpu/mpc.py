@@ -220,6 +220,29 @@ class MPC:
             self._analytic_check(x_init, dx_b, u_init, dtype)
             cfg = self._cfg_with(grad_method=GradMethods.ANALYTIC)
 
+        # fused single-kernel Pallas path (ops/fused.py) for in-scope
+        # problems on TPU; same dispatch rule as learning.batched_solve.
+        # Cached jitted like the vmapped path, so the receding-horizon
+        # pattern of re-creating the controller each step reuses the
+        # compiled kernel.
+        if cfg.use_fused != 'never':
+            from .ops import fused
+            if (fused.supports(cfg, cost_b, dx_b, u_zero_I=uz,
+                               prev_ctrl=pc, dtype=dtype)
+                    and (cfg.use_fused == 'always'
+                         or jax.default_backend() == 'tpu')):
+                key = ('fused', cfg, type(dx_b), u_init is not None,
+                       lb is not None)
+                if key not in _SOLVER_CACHE:
+                    fn = jax.jit(
+                        lambda x0, C, c, dyn, u0, lbi, ubi:
+                        fused.fused_batched_solve(
+                            cfg, x0, QuadCost(C, c), dyn, u_init=u0,
+                            u_lower=lbi, u_upper=ubi))
+                    _SOLVER_CACHE[key] = (fn, None, None)
+                return _SOLVER_CACHE[key][0](
+                    x_init, cost_b.C, cost_b.c, dx_b, u_init, lb, ub)
+
         fn = self._get_solver(cfg, cost_b, dx_b, u_init is not None,
                               lb is not None, uz is not None,
                               pc is not None)

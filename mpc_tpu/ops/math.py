@@ -1,0 +1,48 @@
+"""Transcendentals built from Pallas-lowerable primitives.
+
+Mosaic (Pallas TPU) lowers sin/cos/exp/log/sqrt/tanh but not the
+arctan family, which the pendulum/cartpole dynamics need
+(reference mpc/env_dx/pendulum.py:69, cartpole.py:59).  ``atan2`` here
+is the classic two-interval polynomial evaluation (the same argument
+reduction used by Cephes/XLA single-precision atanf): reduce to
+w = min/max in [0, 1], split at tan(pi/8) with w -> (w-1)/(w+1), apply
+a degree-9 odd minimax polynomial, then undo the octant/quadrant
+reductions with sign masks.  Max error ~1e-7 in float32, and it is
+jnp-traceable everywhere (kernel, CPU, autodiff), so the SoA dynamics
+use it on every backend.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_TAN_PI_8 = 0.4142135623730950
+_PI_4 = 0.7853981633974483
+_PI_2 = 1.5707963267948966
+_PI = 3.141592653589793
+
+
+def atan_unit(w):
+    """arctan on [-1, 1] (degree-9 odd minimax after octant split)."""
+    big = jnp.abs(w) > _TAN_PI_8
+    w_red = jnp.where(big, (jnp.abs(w) - 1.0) / (jnp.abs(w) + 1.0),
+                      jnp.abs(w))
+    z = w_red * w_red
+    p = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
+         + 1.99777106478e-1) * z
+    p = (p - 3.33329491539e-1) * z * w_red + w_red
+    a = jnp.where(big, p + _PI_4, p)
+    return jnp.where(w < 0, -a, a)
+
+
+def atan2(y, x):
+    """Four-quadrant arctangent from lowerable primitives."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    den = jnp.maximum(ax, ay)
+    num = jnp.minimum(ax, ay)
+    w = num / jnp.where(den == 0, 1.0, den)
+    a = atan_unit(w)
+    a = jnp.where(ay > ax, _PI_2 - a, a)
+    a = jnp.where(x < 0, _PI - a, a)
+    return jnp.where(y < 0, -a, a)

@@ -294,6 +294,20 @@ def solve_single(cfg: MPCConfig, x_init, cost, dynamics,
                  u_zero_I=None, prev_ctrl=None) -> Solution:
     """Solve one MPC instance; ``vmap`` over a batch for many.
 
+    Runs under ``cfg.matmul_precision`` (default full float32): TPU
+    matmuls otherwise default to bfloat16 inputs, which flips bang-bang
+    switching times and breaks reference parity.
+    """
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _solve_single(cfg, x_init, cost, dynamics, u_init,
+                             u_lower, u_upper, u_zero_I, prev_ctrl)
+
+
+def _solve_single(cfg: MPCConfig, x_init, cost, dynamics,
+                  u_init=None, u_lower=None, u_upper=None,
+                  u_zero_I=None, prev_ctrl=None) -> Solution:
+    """Solve one MPC instance (see solve_single).
+
     Args:
       cfg: static MPCConfig.
       x_init: [n_state] initial state.

@@ -98,6 +98,16 @@ class MPCConfig:
     # ~10us of loop overhead on TPU, so unrolling lets XLA fuse across
     # time steps (identical results).
     scan_unroll: int = 4
+    # fused single-kernel Pallas solver (ops/fused.py): 'auto' uses it on
+    # TPU whenever the problem is in scope (n_ctrl=1, quadratic cost,
+    # SoA dynamics, no backprop); 'never' forces the jnp path; 'always'
+    # errors if out of scope.
+    use_fused: str = 'auto'
+    # matmul precision for the jnp path.  TPU matmuls default to
+    # bfloat16 inputs, which breaks the <=1e-3 control-parity target
+    # (bang-bang switching times flip); 'float32' forces full-precision
+    # passes (SURVEY.md section 7 risk list).
+    matmul_precision: str = 'float32'
 
     def __post_init__(self):
         assert self.max_linesearch_iter > 0

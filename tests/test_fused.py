@@ -1,0 +1,90 @@
+"""Fused Pallas solver vs the jnp reference path (interpret mode).
+
+The fused kernel (mpc_tpu/ops/fused.py) must reproduce the vmapped jnp
+solver bit-for-bit up to float32 reassociation: same trajectories,
+costs, step norms, line-search alphas, and iteration diagnostics.
+Run in Pallas interpreter mode so it executes on the CPU test backend.
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu import GradMethods, MPCConfig, QuadCost
+from mpc_tpu.learning import batched_solve
+from mpc_tpu.models import PendulumDx
+from mpc_tpu.ops.fused import fused_batched_solve, supports
+
+
+def _problem(B, T, bounded, dtype=jnp.float32):
+    dx = PendulumDx(params=jnp.array([10., 1., 1.], dtype))
+    rng = np.random.RandomState(0)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1), dtype)
+    q, p = dx.get_true_obj()
+    C = jnp.broadcast_to(jnp.diag(q).astype(dtype), (T, B, 4, 4))
+    c = jnp.broadcast_to(jnp.asarray(p, dtype), (T, B, 4))
+    if bounded:
+        lb = jnp.full((T, B, 1), -2.0, dtype)
+        ub = jnp.full((T, B, 1), 2.0, dtype)
+    else:
+        lb = ub = None
+    return dx, x0, C, c, lb, ub
+
+
+def _cfg(T, **kw):
+    base = dict(n_state=3, n_ctrl=1, T=T, lqr_iter=2,
+                grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                exit_unconverged=False, detach_unconverged=False,
+                backprop=False, linesearch_decay=0.2,
+                max_linesearch_iter=2, use_fused='never')
+    base.update(kw)
+    return MPCConfig(**base)
+
+
+def _compare(cfg, dx, x0, C, c, lb, ub, atol=2e-5):
+    ref = batched_solve(cfg, x0, QuadCost(C, c), dx, u_lower=lb, u_upper=ub)
+    fus = fused_batched_solve(cfg, x0, QuadCost(C, c), dx,
+                              u_lower=lb, u_upper=ub, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=atol)
+    np.testing.assert_allclose(np.asarray(ref.x), np.asarray(fus.x),
+                               atol=atol)
+    np.testing.assert_allclose(np.asarray(ref.costs), np.asarray(fus.costs),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.mean_alpha),
+                               np.asarray(fus.mean_alpha), atol=0)
+    np.testing.assert_array_equal(np.asarray(ref.n_iter),
+                                  np.asarray(fus.n_iter))
+    np.testing.assert_array_equal(np.asarray(ref.n_qp_iter),
+                                  np.asarray(fus.n_qp_iter))
+
+
+def test_fused_matches_jnp_bounded():
+    T = 5
+    dx, x0, C, c, lb, ub = _problem(B=16, T=T, bounded=True)
+    _compare(_cfg(T), dx, x0, C, c, lb, ub)
+
+
+def test_fused_matches_jnp_unbounded():
+    T = 4
+    dx, x0, C, c, lb, ub = _problem(B=8, T=T, bounded=False)
+    _compare(_cfg(T), dx, x0, C, c, lb, ub)
+
+
+def test_supports_gates():
+    T = 4
+    dx, x0, C, c, lb, ub = _problem(B=8, T=T, bounded=True)
+    cfg = _cfg(T)
+    assert supports(cfg, QuadCost(C, c), dx)
+    # out of scope: backprop, non-SoA dynamics, f64, u_zero_I
+    assert not supports(dataclasses.replace(cfg, backprop=True),
+                        QuadCost(C, c), dx)
+    assert not supports(cfg, QuadCost(C, c), lambda x, u: x)
+    assert not supports(cfg, QuadCost(C, c), dx, dtype=jnp.float64)
+    assert not supports(cfg, QuadCost(C, c), dx,
+                        u_zero_I=jnp.zeros((T, 8, 1), bool))
