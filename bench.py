@@ -44,14 +44,20 @@ def _pendulum_inputs(B, T, dtype):
     return dx, x0, C, c, lb, ub
 
 
-def bench_pendulum(B=4096, T=20, iters=10, warmup=2):
+def bench_pendulum(B=4096, T=20, iters=30, warmup=2):
     import jax
     import jax.numpy as jnp
     from mpc_tpu import MPCConfig, QuadCost, GradMethods
     from mpc_tpu.learning import batched_solve
+    from mpc_tpu.models import PendulumDx
 
     dtype = jnp.float32
-    dx, _, C, c, lb, ub = _pendulum_inputs(B, T, dtype)
+    dx = PendulumDx()
+    q, p = dx.get_true_obj()
+    # batch-shared cost + scalar bounds (the workload's actual structure;
+    # they ride SMEM on the fused path instead of [T, B, ...] arrays)
+    C = jnp.diag(q).astype(dtype)
+    c = jnp.asarray(p, dtype)
     cfg = MPCConfig(
         n_state=3, n_ctrl=1, T=T, lqr_iter=10,
         grad_method=GradMethods.AUTO_DIFF, eps=0.0,
@@ -59,7 +65,7 @@ def bench_pendulum(B=4096, T=20, iters=10, warmup=2):
         linesearch_decay=0.2, max_linesearch_iter=5)
 
     fn = jax.jit(lambda x0: batched_solve(
-        cfg, x0, QuadCost(C, c), dx, u_lower=lb, u_upper=ub).u)
+        cfg, x0, QuadCost(C, c), dx, u_lower=-2.0, u_upper=2.0).u)
 
     # distinct inputs per iteration: the remote-execution layer dedupes
     # repeated identical executions, which would fake the timing
@@ -152,7 +158,7 @@ def _baseline_value(remeasure=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=4096)
-    ap.add_argument('--iters', type=int, default=10)
+    ap.add_argument('--iters', type=int, default=30)
     ap.add_argument('--remeasure-baseline', action='store_true')
     ap.add_argument('--all', action='store_true',
                     help='also run the secondary BASELINE configs')

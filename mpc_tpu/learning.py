@@ -38,36 +38,95 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
     from .types import LinDx, QuadCost
 
     if cfg.use_fused != 'never':
+        import dataclasses
+
         from .ops import fused
-        in_scope = fused.supports(cfg, cost, dynamics,
-                                  dtype=jnp.asarray(x_init).dtype)
+        from .solver import fixed_point_phase
+
+        dtype = jnp.asarray(x_init).dtype
         on_tpu = jax.default_backend() == 'tpu'
-        if cfg.use_fused == 'always':
-            if not in_scope:
-                raise ValueError('use_fused="always" but the problem is '
-                                 'outside the fused-kernel scope '
-                                 '(see ops/fused.py:supports)')
-            return fused.fused_batched_solve(
-                cfg, x_init, cost, dynamics, u_init=u_init,
-                u_lower=u_lower, u_upper=u_upper)
-        if in_scope and on_tpu:
-            return fused.fused_batched_solve(
-                cfg, x_init, cost, dynamics, u_init=u_init,
-                u_lower=u_lower, u_upper=u_upper)
+        cfg1 = dataclasses.replace(cfg, backprop=False)
+        in_scope = fused.supports(cfg1, cost, dynamics, dtype=dtype)
+        use = in_scope and (on_tpu or cfg.use_fused == 'always')
+        if cfg.use_fused == 'always' and not in_scope:
+            raise ValueError('use_fused="always" but the problem is '
+                             'outside the fused-kernel scope '
+                             '(see ops/fused.py:supports)')
+        if use:
+            B = x_init.shape[0]
+            u_init_f = u_init
+            if u_init_f is not None and jnp.ndim(u_init_f) == 2:
+                u_init_f = jnp.broadcast_to(
+                    u_init_f[:, None], (cfg.T, B, cfg.n_ctrl))
+            if not cfg.backprop:
+                return fused.fused_batched_solve(
+                    cfg, x_init, cost, dynamics, u_init=u_init_f,
+                    u_lower=u_lower, u_upper=u_upper)
+            # differentiable solve: phase 1 (the iterations) through the
+            # kernel with gradients stopped - exactly the reference's
+            # detached outer loop (mpc/mpc.py:249-262) - then the
+            # custom_vjp fixed-point layer vmapped at the solution
+            sg = jax.lax.stop_gradient
+
+            def sgt(t):
+                return jax.tree_util.tree_map(
+                    lambda a: sg(a) if isinstance(a, jax.Array) else a, t)
+
+            sol1 = fused.fused_batched_solve(
+                cfg1, sg(x_init), sgt(cost), sgt(dynamics),
+                u_init=sg(u_init_f) if u_init_f is not None else None,
+                u_lower=sgt(u_lower), u_upper=sgt(u_upper))
+
+            lb2, ub2 = u_lower, u_upper
+            if lb2 is not None and jnp.ndim(lb2) == 0:
+                lb2 = jnp.full((cfg.T, cfg.n_ctrl), lb2, dtype)
+                ub2 = jnp.full((cfg.T, cfg.n_ctrl), ub2, dtype)
+
+            def ph2(x0, cost_i, bx, bu, lb_i, ub_i, conv):
+                return fixed_point_phase(cfg, x0, cost_i, dynamics,
+                                         sg(bx), sg(bu), lb_i, ub_i, conv)
+
+            def _ax(cst):
+                if not isinstance(cst, QuadCost):
+                    return None
+                return QuadCost(1 if jnp.ndim(cst.C) == 4 else None,
+                                1 if jnp.ndim(cst.c) == 3 else None)
+
+            b_ax = ((1 if jnp.ndim(lb2) == 3 else None)
+                    if lb2 is not None else None)
+            x, u = jax.vmap(
+                ph2, in_axes=(0, _ax(cost), 1, 1, b_ax, b_ax, 0),
+                out_axes=(1, 1))(
+                x_init, cost, sol1.x, sol1.u, lb2, ub2, sol1.converged)
+            return sol1._replace(x=x, u=u)
 
     def one(x0, cost_i, dyn_i, u0, lb, ub):
         return solve_single(cfg, x0, cost_i, dyn_i, u_init=u0,
                             u_lower=lb, u_upper=ub)
 
+    # batch-shared (unbatched) cost arrays and scalar bounds are allowed:
+    # they map with in_axes=None instead of being broadcast
+    def _cost_axes(cst):
+        if not isinstance(cst, QuadCost):
+            return None
+        return QuadCost(1 if jnp.ndim(cst.C) == 4 else None,
+                        1 if jnp.ndim(cst.c) == 3 else None)
+
+    if u_lower is not None and jnp.ndim(u_lower) == 0:
+        dt = jnp.asarray(x_init).dtype
+        u_lower = jnp.full((cfg.T, cfg.n_ctrl), u_lower, dt)
+        u_upper = jnp.full((cfg.T, cfg.n_ctrl), u_upper, dt)
     in_axes = (
         0,
-        jax.tree_util.tree_map(lambda _: 1, cost)
-        if isinstance(cost, (QuadCost,)) else None,
+        _cost_axes(cost),
         jax.tree_util.tree_map(lambda _: 1, dynamics)
         if isinstance(dynamics, (LinDx,)) else None,
-        1 if u_init is not None else None,
-        1 if u_lower is not None else None,
-        1 if u_upper is not None else None,
+        (1 if jnp.ndim(u_init) == 3 else None) if u_init is not None
+        else None,
+        (1 if jnp.ndim(u_lower) == 3 else None) if u_lower is not None
+        else None,
+        (1 if jnp.ndim(u_upper) == 3 else None) if u_upper is not None
+        else None,
     )
     out_axes = Solution(x=1, u=1, costs=0, full_du_norm=0, n_iter=0,
                         n_qp_iter=0, converged=0, mean_alpha=0)

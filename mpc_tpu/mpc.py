@@ -227,12 +227,25 @@ class MPC:
         # compiled kernel.
         if cfg.use_fused != 'never':
             from .ops import fused
-            if (fused.supports(cfg, cost_b, dx_b, u_zero_I=uz,
+            # hand the kernel the PRE-broadcast cost/bounds so the
+            # batch-shared case rides SMEM instead of being materialized
+            # to [T, B, ...] and relaid out every call
+            if isinstance(cost, QuadCost):
+                cost_f = QuadCost(jnp.asarray(cost.C, dtype),
+                                  jnp.asarray(cost.c, dtype))
+            else:
+                cost_f = cost_b
+            scalar_bounds = (self.u_lower is not None
+                             and jnp.ndim(self.u_lower) == 0
+                             and jnp.ndim(self.u_upper) == 0)
+            lb_f = jnp.asarray(self.u_lower, dtype) if scalar_bounds else lb
+            ub_f = jnp.asarray(self.u_upper, dtype) if scalar_bounds else ub
+            if (fused.supports(cfg, cost_f, dx_b, u_zero_I=uz,
                                prev_ctrl=pc, dtype=dtype)
                     and (cfg.use_fused == 'always'
                          or jax.default_backend() == 'tpu')):
                 key = ('fused', cfg, type(dx_b), u_init is not None,
-                       lb is not None)
+                       lb is not None, jnp.ndim(cost_f.C), scalar_bounds)
                 if key not in _SOLVER_CACHE:
                     fn = jax.jit(
                         lambda x0, C, c, dyn, u0, lbi, ubi:
@@ -241,7 +254,7 @@ class MPC:
                             u_lower=lbi, u_upper=ubi))
                     _SOLVER_CACHE[key] = (fn, None, None)
                 return _SOLVER_CACHE[key][0](
-                    x_init, cost_b.C, cost_b.c, dx_b, u_init, lb, ub)
+                    x_init, cost_f.C, cost_f.c, dx_b, u_init, lb_f, ub_f)
 
         fn = self._get_solver(cfg, cost_b, dx_b, u_init is not None,
                               lb is not None, uz is not None,

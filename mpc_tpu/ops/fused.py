@@ -64,7 +64,8 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
         and not cfg.backprop
         and cfg.verbose <= 0
         and isinstance(cost, QuadCost)
-        and getattr(cost.C, 'ndim', 0) == 4      # batched [T, B, ...]
+        # batched [T, B, ...] (VMEM) or batch-shared [T, ...]/[...] (SMEM)
+        and getattr(cost.C, 'ndim', 0) in (2, 3, 4)
         and hasattr(dynamics, 'soa_step')
         and hasattr(dynamics, 'soa_params')
         and dtype == jnp.float32
@@ -128,7 +129,8 @@ def _read_vec(ref, t, n):
 
 def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
                  lqr_iter, eps, best_cost_eps, not_improved_lim,
-                 linesearch_decay, max_linesearch_iter):
+                 linesearch_decay, max_linesearch_iter,
+                 cost_smem=False, bounds_scalar=False):
     ntau = ns + 1
     alphas = [linesearch_decay ** k for k in range(max_linesearch_iter)]
 
@@ -139,11 +141,23 @@ def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
 
         x0 = [x0_ref[i, 0] for i in range(ns)]
         u0 = [u0_ref[t, 0, 0] for t in range(T)]
-        C = [_read_mat(C_ref, t, ntau, ntau) for t in range(T)]
-        c = [_read_vec(c_ref, t, ntau) for t in range(T)]
+        if cost_smem:
+            # batch-shared quadratic cost: scalars from SMEM, broadcast
+            # lazily against the lane vectors (saves the [T, B, n, n]
+            # materialization + relayout + VMEM streaming entirely)
+            C = [[[C_ref[t, i * ntau + j] for j in range(ntau)]
+                  for i in range(ntau)] for t in range(T)]
+            c = [[c_ref[t, i] for i in range(ntau)] for t in range(T)]
+        else:
+            C = [_read_mat(C_ref, t, ntau, ntau) for t in range(T)]
+            c = [_read_vec(c_ref, t, ntau) for t in range(T)]
         if has_bounds:
-            lb = [lb_ref[t, 0, 0] for t in range(T)]
-            ub = [ub_ref[t, 0, 0] for t in range(T)]
+            if bounds_scalar:
+                lb = [lb_ref[0, 0] for _ in range(T)]
+                ub = [ub_ref[0, 1] for _ in range(T)]
+            else:
+                lb = [lb_ref[t, 0, 0] for t in range(T)]
+                ub = [ub_ref[t, 0, 0] for t in range(T)]
 
         # derive the loop-carry constants from loaded data: literal
         # constants get a lane-replicated register layout, and Mosaic
@@ -372,8 +386,11 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                         interpret: bool = False) -> Solution:
     """Batched solve through the fused kernel.
 
-    Layouts match learning.batched_solve: x_init [B, ns]; C/c/bounds/
-    u_init time-major [T, B, ...].  Returns a batched Solution
+    Layouts match learning.batched_solve: x_init [B, ns]; bounds/u_init
+    time-major [T, B, ...].  The cost may be batched ([T, B, n, n] -
+    streamed through VMEM) or batch-shared ([T, n, n] / [n, n] - kept in
+    SMEM as scalars, skipping the broadcast + relayout + streaming).
+    Scalar (0-d) bounds likewise ride SMEM.  Returns a batched Solution
     (out_axes matching the vmapped path).
     """
     T, ns = cfg.T, cfg.n_state
@@ -395,14 +412,27 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         a = jnp.moveaxis(a, batch_axis, -1)
         return _to_lanes(a, Bp, G)
 
-    C = prep(cost.C, 1)                    # [T, ntau, ntau, G, 8, 128]
-    c = prep(cost.c, 1)                    # [T, ntau, G, 8, 128]
+    Ca = jnp.asarray(cost.C, dtype)
+    ca = jnp.asarray(cost.c, dtype)
+    cost_smem = Ca.ndim < 4
+    if cost_smem:
+        C = jnp.broadcast_to(Ca, (T, ntau, ntau)).reshape(T, ntau * ntau)
+        c = jnp.broadcast_to(ca, (T, ntau))
+    else:
+        C = prep(Ca, 1)                    # [T, ntau, ntau, G, 8, 128]
+        c = prep(ca, 1)                    # [T, ntau, G, 8, 128]
     x0 = prep(x_init, 0)                   # [ns, G, 8, 128]
     if u_init is None:
         u0 = jnp.zeros((T, 1, G, SUB, LANE), dtype)
     else:
         u0 = prep(u_init, 1)
-    if has_bounds:
+    bounds_scalar = has_bounds and jnp.ndim(u_lower) == 0
+    if bounds_scalar:
+        lb = jnp.asarray(u_lower, dtype).reshape(1, 1)
+        lb = jnp.concatenate(
+            [lb, jnp.asarray(u_upper, dtype).reshape(1, 1)], axis=1)
+        ub = lb
+    elif has_bounds:
         lb = prep(u_lower, 1)
         ub = prep(u_upper, 1)
     else:
@@ -421,27 +451,43 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         best_cost_eps=float(cfg.best_cost_eps),
         not_improved_lim=float(cfg.not_improved_lim),
         linesearch_decay=float(cfg.linesearch_decay),
-        max_linesearch_iter=int(cfg.max_linesearch_iter))
+        max_linesearch_iter=int(cfg.max_linesearch_iter),
+        cost_smem=cost_smem, bounds_scalar=bounds_scalar)
 
     def spec(block, imap):
         return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
+
+    def smem(block):
+        return pl.BlockSpec(block, lambda g: tuple(0 for _ in block),
+                            memory_space=pltpu.SMEM)
 
     g6 = lambda g: (0, 0, 0, g, 0, 0)
     g5 = lambda g: (0, 0, g, 0, 0)
     g4 = lambda g: (0, g, 0, 0)
 
+    if cost_smem:
+        C_spec = smem((T, ntau * ntau))
+        c_spec = smem((T, ntau))
+    else:
+        C_spec = spec((T, ntau, ntau, 1, SUB, LANE), g6)
+        c_spec = spec((T, ntau, 1, SUB, LANE), g5)
+    if bounds_scalar:
+        b_specs = [smem((1, 2)), smem((1, 2))]
+    else:
+        b_specs = [spec((T, 1, 1, SUB, LANE), g5),
+                   spec((T, 1, 1, SUB, LANE), g5)]
+
     xs, us, stats = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, max(1, n_params)), lambda g: (0, 0),
-                         memory_space=pltpu.SMEM),
-            spec((T, ntau, ntau, 1, SUB, LANE), g6),
-            spec((T, ntau, 1, SUB, LANE), g5),
+            smem((1, max(1, n_params))),
+            C_spec,
+            c_spec,
             spec((ns, 1, SUB, LANE), g4),
             spec((T, 1, 1, SUB, LANE), g5),
-            spec((T, 1, 1, SUB, LANE), g5),
-            spec((T, 1, 1, SUB, LANE), g5),
+            b_specs[0],
+            b_specs[1],
         ],
         out_specs=[
             spec((T, ns, 1, SUB, LANE), g5),

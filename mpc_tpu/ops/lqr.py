@@ -246,6 +246,10 @@ def total_cost(x, u, true_cost):
     tau = jnp.concatenate([x, u], axis=1)
     if isinstance(true_cost, tuple):
         Cq, cq = true_cost
+        if Cq.ndim == 2:          # time-invariant shared cost
+            Cq = jnp.broadcast_to(Cq, (tau.shape[0],) + Cq.shape)
+        if cq.ndim == 1:
+            cq = jnp.broadcast_to(cq, (tau.shape[0],) + cq.shape)
         objs = 0.5 * jnp.einsum('ti,tij,tj->t', tau, Cq, tau) + \
             jnp.einsum('ti,ti->t', tau, cq)
     else:

@@ -60,45 +60,71 @@ def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
     """Solve a sharded scenario batch on a device mesh.
 
     ``x_init`` is batch-major [B, n_state]; QuadCost / LinDx / bounds /
-    u_init arrays are time-major [T, B, ...].  The batch is sharded over
-    the mesh and each device runs the identical vmapped solver on its
-    shard - embarrassingly parallel, zero collectives (SURVEY.md
+    u_init arrays are time-major [T, B, ...] (batch-shared cost arrays
+    and scalar bounds are replicated).  The batch is sharded over the
+    mesh with ``shard_map`` and each device runs the identical LOCAL
+    solver - including the fused Pallas kernel when in scope - on its
+    shard: embarrassingly parallel, zero collectives (SURVEY.md
     section 2.3 and BASELINE north star).
     """
+    from ..learning import batched_solve
+
     n_batch = x_init.shape[0]
     n_dev = mesh.devices.size
     assert n_batch % n_dev == 0, (
         f'batch {n_batch} must divide evenly over {n_dev} devices')
 
-    args = {'x_init': x_init, 'cost': cost, 'dynamics': dynamics,
-            'u_init': u_init, 'u_lower': u_lower, 'u_upper': u_upper}
-    arrays = {k: v for k, v in args.items() if v is not None and
-              not callable(v) or isinstance(v, (QuadCost, LinDx))}
+    # positional array operands with their batch axis; everything else
+    # (callables, batch-shared arrays, scalars) is closed over and
+    # replicated
+    operands = [jnp.asarray(x_init)]
+    specs = [P(axis_name)]
+    slots = {}
 
-    sharded = {}
-    for k, v in args.items():
-        if v is None or (callable(v) and not isinstance(v, (QuadCost, LinDx))):
-            sharded[k] = v
-        else:
-            sharded[k] = shard_batch(v, mesh, axis_name=axis_name)
+    def add(name, a, batch_axis):
+        a = jnp.asarray(a)
+        slots[name] = len(operands)
+        operands.append(a)
+        parts = [None] * a.ndim
+        parts[batch_axis] = axis_name
+        specs.append(P(*parts))
 
-    def one(x_init_i, cost_i, dyn_i, u_init_i, lb_i, ub_i):
-        return solve_single(cfg, x_init_i, cost_i, dyn_i,
-                            u_init=u_init_i, u_lower=lb_i, u_upper=ub_i)
+    if isinstance(cost, QuadCost) and jnp.ndim(cost.C) == 4:
+        add('C', cost.C, 1)
+        add('c', cost.c, 1)
+    if isinstance(dynamics, LinDx):
+        add('F', dynamics.F, 1)
+        if dynamics.f is not None:
+            add('f', dynamics.f, 1)
+    if u_init is not None and jnp.ndim(u_init) == 3:
+        add('u_init', u_init, 1)
+    if u_lower is not None and jnp.ndim(u_lower) == 3:
+        add('lb', u_lower, 1)
+        add('ub', u_upper, 1)
 
-    in_axes = (
-        0,
-        1 if isinstance(cost, QuadCost) else None,
-        1 if isinstance(dynamics, LinDx) else None,
-        1 if u_init is not None else None,
-        1 if u_lower is not None else None,
-        1 if u_upper is not None else None,
-    )
-    out_axes = Solution(x=1, u=1, costs=0, full_du_norm=0, n_iter=0,
-                        n_qp_iter=0, converged=0, mean_alpha=0)
-    batched = jax.vmap(one, in_axes=in_axes, out_axes=out_axes)
+    def local(*arrs):
+        def pick(name, default):
+            return arrs[slots[name]] if name in slots else default
 
-    with mesh:
-        fn = jax.jit(batched)
-        return fn(sharded['x_init'], sharded['cost'], sharded['dynamics'],
-                  sharded['u_init'], sharded['u_lower'], sharded['u_upper'])
+        cost_l = (QuadCost(pick('C', cost.C), pick('c', cost.c))
+                  if isinstance(cost, QuadCost) else cost)
+        dyn_l = (LinDx(pick('F', dynamics.F),
+                       pick('f', dynamics.f))
+                 if isinstance(dynamics, LinDx) else dynamics)
+        return batched_solve(
+            cfg, arrs[0], cost_l, dyn_l,
+            u_init=pick('u_init', u_init),
+            u_lower=pick('lb', u_lower), u_upper=pick('ub', u_upper))
+
+    out_specs = Solution(
+        x=P(None, axis_name), u=P(None, axis_name),
+        costs=P(axis_name), full_du_norm=P(axis_name),
+        n_iter=P(axis_name), n_qp_iter=P(axis_name),
+        converged=P(axis_name), mean_alpha=P(axis_name))
+
+    # check_vma=False: Pallas kernel outputs carry no varying-mesh-axes
+    # metadata, and the local solve is per-shard independent anyway
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(specs), out_specs=out_specs,
+        check_vma=False))
+    return fn(*operands)

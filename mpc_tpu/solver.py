@@ -127,7 +127,14 @@ def quadratize_cost(cost, x, u):
     (reference mpc/mpc.py:480).
     """
     if isinstance(cost, QuadCost):
-        return cost.C, cost.c, None
+        C, cv = cost.C, cost.c
+        T = x.shape[0]
+        # batch-shared cost without a time axis broadcasts here
+        if C.ndim == 2:
+            C = jnp.broadcast_to(C, (T,) + C.shape)
+        if cv.ndim == 1:
+            cv = jnp.broadcast_to(cv, (T,) + cv.shape)
+        return C, cv, None
 
     tau = jnp.concatenate([x, u], axis=1)
 
@@ -422,38 +429,10 @@ def _solve_single(cfg: MPCConfig, x_init, cost, dynamics,
     converged = out.best_du_norm < cfg.eps
 
     # ---- phase 2: differentiable fixed-point layer -----------------------
-    # (reference mpc/mpc.py:304-319: re-linearize at the best trajectory
-    #  with diff=True, then a no_op_forward LQRStep attaches the graph)
     if cfg.backprop:
-        F, f = linearize_dynamics(dynamics, best_x, best_u, cfg.grad_method)
-        C, c, _ = quadratize_cost(cost, best_x, best_u)
-
-        if cfg.slew_rate_penalty is None:
-            has_f = f is not None
-            fp = make_lqr_fixed_point(
-                n_state=ns, has_bounds=u_lower is not None, has_f=has_f)
-            f_arr = f if has_f else jnp.zeros((T - 1, ns), dtype)
-            lb = u_lower if u_lower is not None else jnp.zeros((T, nc), dtype)
-            ub = u_upper if u_upper is not None else jnp.zeros((T, nc), dtype)
-            x, u = fp(x_init, C, c, F, f_arr, lb, ub, best_x, best_u)
-        else:
-            sp = _augment_slew(cfg, C, c, F, f, x_init, best_x, best_u,
-                               cost, dynamics, prev_ctrl)
-            has_f = sp.f is not None
-            fp = make_lqr_fixed_point(
-                n_state=ns + nc, has_bounds=u_lower is not None, has_f=has_f)
-            f_arr = sp.f if has_f else jnp.zeros((T - 1, ns + nc), dtype)
-            lb = u_lower if u_lower is not None else jnp.zeros((T, nc), dtype)
-            ub = u_upper if u_upper is not None else jnp.zeros((T, nc), dtype)
-            x_aug, u = fp(sp.x_init, sp.C, sp.c, sp.F, f_arr, lb, ub,
-                          sg(sp.x), best_u)
-            x = x_aug[:, nc:]
-
-        if cfg.detach_unconverged:
-            # detach unconverged examples from the graph
-            # (reference mpc/mpc.py:321-334)
-            x = jnp.where(converged, x, sg(x))
-            u = jnp.where(converged, u, sg(u))
+        x, u = fixed_point_phase(cfg, x_init, cost, dynamics, best_x,
+                                 best_u, u_lower, u_upper, converged,
+                                 prev_ctrl)
     else:
         x, u = best_x, best_u
 
@@ -462,3 +441,51 @@ def _solve_single(cfg: MPCConfig, x_init, cost, dynamics,
         full_du_norm=out.best_du_norm,
         n_iter=out.i, n_qp_iter=out.n_qp_total,
         converged=converged, mean_alpha=out.alpha)
+
+
+def fixed_point_phase(cfg: MPCConfig, x_init, cost, dynamics,
+                      best_x, best_u, u_lower, u_upper, converged,
+                      prev_ctrl=None):
+    """Attach the differentiable KKT fixed-point layer at a converged
+    trajectory (reference mpc/mpc.py:304-334: re-linearize at the best
+    trajectory with diff=True, then a no_op_forward LQRStep attaches the
+    graph).  ``best_x``/``best_u`` should be stop-gradiented; gradients
+    flow through cost/dynamics/x_init/bounds via the custom_vjp layer.
+
+    Standalone so a batched phase-1 solver (e.g. the fused Pallas
+    kernel) can be composed with a vmapped differentiable phase 2.
+    """
+    T, ns, nc = cfg.T, cfg.n_state, cfg.n_ctrl
+    dtype = x_init.dtype
+    sg = lax.stop_gradient
+
+    F, f = linearize_dynamics(dynamics, best_x, best_u, cfg.grad_method)
+    C, c, _ = quadratize_cost(cost, best_x, best_u)
+
+    if cfg.slew_rate_penalty is None:
+        has_f = f is not None
+        fp = make_lqr_fixed_point(
+            n_state=ns, has_bounds=u_lower is not None, has_f=has_f)
+        f_arr = f if has_f else jnp.zeros((T - 1, ns), dtype)
+        lb = u_lower if u_lower is not None else jnp.zeros((T, nc), dtype)
+        ub = u_upper if u_upper is not None else jnp.zeros((T, nc), dtype)
+        x, u = fp(x_init, C, c, F, f_arr, lb, ub, best_x, best_u)
+    else:
+        sp = _augment_slew(cfg, C, c, F, f, x_init, best_x, best_u,
+                           cost, dynamics, prev_ctrl)
+        has_f = sp.f is not None
+        fp = make_lqr_fixed_point(
+            n_state=ns + nc, has_bounds=u_lower is not None, has_f=has_f)
+        f_arr = sp.f if has_f else jnp.zeros((T - 1, ns + nc), dtype)
+        lb = u_lower if u_lower is not None else jnp.zeros((T, nc), dtype)
+        ub = u_upper if u_upper is not None else jnp.zeros((T, nc), dtype)
+        x_aug, u = fp(sp.x_init, sp.C, sp.c, sp.F, f_arr, lb, ub,
+                      sg(sp.x), best_u)
+        x = x_aug[:, nc:]
+
+    if cfg.detach_unconverged:
+        # detach unconverged examples from the graph
+        # (reference mpc/mpc.py:321-334)
+        x = jnp.where(converged, x, sg(x))
+        u = jnp.where(converged, u, sg(u))
+    return x, u

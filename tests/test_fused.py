@@ -76,6 +76,24 @@ def test_fused_matches_jnp_unbounded():
     _compare(_cfg(T), dx, x0, C, c, lb, ub)
 
 
+def test_fused_smem_cost_scalar_bounds():
+    """Batch-shared cost [n, n] + scalar bounds (the SMEM fast path) must
+    match the broadcast VMEM path."""
+    T = 5
+    dx, x0, C, c, lb, ub = _problem(B=16, T=T, bounded=True)
+    cfg = _cfg(T)
+    ref = fused_batched_solve(cfg, x0, QuadCost(C, c), dx,
+                              u_lower=lb, u_upper=ub, interpret=True)
+    fus = fused_batched_solve(
+        cfg, x0, QuadCost(C[0, 0], c[0, 0]), dx,
+        u_lower=jnp.float32(-2.0), u_upper=jnp.float32(2.0),
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.costs),
+                               np.asarray(fus.costs), atol=1e-4)
+
+
 def test_supports_gates():
     T = 4
     dx, x0, C, c, lb, ub = _problem(B=8, T=T, bounded=True)
