@@ -52,7 +52,8 @@ class CartpoleDx:
         total_mass = masspole + masscart
         polemass_length = masspole * length
 
-        u = jnp.clip(u[..., 0], -self.force_mag, self.force_mag)
+        from ..ops.math import hard_clip
+        u = hard_clip(u[..., 0], -self.force_mag, self.force_mag)
         x, dx, cos_th, sin_th, dth = (
             state[..., 0], state[..., 1], state[..., 2],
             state[..., 3], state[..., 4])
@@ -76,12 +77,12 @@ class CartpoleDx:
         return tuple(self.params[i] for i in range(4))
 
     def soa_step(self, xs, u, params):
-        from ..ops.math import atan2
+        from ..ops.math import atan2, hard_clip
         gravity, masscart, masspole, length = params
         total_mass = masspole + masscart
         polemass_length = masspole * length
 
-        u = jnp.clip(u, -self.force_mag, self.force_mag)
+        u = hard_clip(u, -self.force_mag, self.force_mag)
         x, dx, cos_th, sin_th, dth = xs
         th = atan2(sin_th, cos_th)
 

@@ -52,7 +52,8 @@ class PendulumDx:
         else:
             g, m, l, d, b = self.params
 
-        u = jnp.clip(u[..., 0], -self.max_torque, self.max_torque)
+        from ..ops.math import hard_clip
+        u = hard_clip(u[..., 0], -self.max_torque, self.max_torque)
         cos_th, sin_th, dth = x[..., 0], x[..., 1], x[..., 2]
         th = jnp.arctan2(sin_th, cos_th)
         if self.simple:
@@ -76,13 +77,13 @@ class PendulumDx:
         return tuple(self.params[i] for i in range(n))
 
     def soa_step(self, xs, u, params):
-        from ..ops.math import atan2
+        from ..ops.math import atan2, hard_clip
         if self.simple:
             g, m, l = params
         else:
             g, m, l, d, b = params
         cos_th, sin_th, dth = xs
-        u = jnp.clip(u, -self.max_torque, self.max_torque)
+        u = hard_clip(u, -self.max_torque, self.max_torque)
         th = atan2(sin_th, cos_th)
         if self.simple:
             newdth = dth + self.dt * (

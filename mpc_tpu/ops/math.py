@@ -35,6 +35,23 @@ def atan_unit(w):
     return jnp.where(w < 0, -a, a)
 
 
+def hard_clip(x, lo, hi):
+    """Clip whose gradient is 1 ON the boundary (torch.clamp convention).
+
+    ``jnp.clip`` lowers to min/max whose JVP splits 0.5/0.5 at exact
+    ties, so d clip(u)/du = 0.5 at u == bound.  Box-constrained MPC
+    saturates controls EXACTLY at the bounds (eclamp writes the bound
+    value), so every bang-bang control sits on that tie and the dynamics
+    Jacobian S comes out HALF the reference's - the iterates then
+    diverge from mpc.pytorch (observed: 12/16 pendulum examples off by
+    the full control range after 2 iterations).  This variant matches
+    torch.clamp: gradient 1 inside and on the boundary, 0 strictly
+    outside (reference dynamics clamp at mpc/env_dx/pendulum.py:70,
+    cartpole.py:55; torch.clamp backward semantics).
+    """
+    return jnp.where(x < lo, lo, jnp.where(x > hi, hi, x))
+
+
 def atan2(y, x):
     """Four-quadrant arctangent from lowerable primitives."""
     ax = jnp.abs(x)

@@ -156,3 +156,67 @@ def test_parity_pendulum_solve():
 
     err = np.abs(u_ref.detach().numpy() - np.asarray(u)).max()
     assert err <= 1e-3, f'pendulum control parity {err:.2e} > 1e-3'
+
+
+class _RefTorchPendulum:
+    """The reference's pendulum physics as a torch module
+    (mpc/env_dx/pendulum.py:49-84, simple parameterization)."""
+
+    def __new__(cls):
+        class M(torch.nn.Module):
+            def forward(self, x, u):
+                g, m, l = 10., 1., 1.
+                dt = 0.05
+                u = torch.clamp(u, -2., 2.)[:, 0]
+                cos_th, sin_th, dth = torch.unbind(x, dim=1)
+                newdth = dth + dt * (-3. * g / (2. * l) * (-sin_th)
+                                     + 3. * u / (m * l ** 2))
+                newth = torch.atan2(sin_th, cos_th) + newdth * dt
+                return torch.stack(
+                    (torch.cos(newth), torch.sin(newth), newdth), dim=1)
+        return M().double()
+
+
+def test_parity_pendulum_nonlinear():
+    """Nonlinear box-constrained iLQR parity on the pendulum swing-up:
+    the iterates must track the reference exactly (f64), INCLUDING at
+    bang-bang (saturated) controls.  Regression test for the clamp
+    boundary-gradient convention: jnp.clip's min/max JVP gives 0.5 at
+    exact ties while torch.clamp gives 1, which halves the control
+    Jacobian at saturation and sends the iterates on a different path
+    (hard_clip in ops/math.py restores torch semantics)."""
+    from mpc_tpu.learning import batched_solve
+    from mpc_tpu.types import MPCConfig
+
+    B, T = 8, 15
+    npr.seed(11)
+    th = np.pi * (2 * npr.rand(B) - 1)
+    x0 = np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1)
+
+    tt = lambda a: torch.tensor(a, dtype=torch.float64)
+    Q = torch.diag(tt(np.array([1., 1., 0.1, 0.001])))
+    p = tt(np.array([-1., 0., 0., 0.]))
+
+    dx = PendulumDx(params=jnp.array([10., 1., 1.], jnp.float64))
+    q_j, p_j = dx.get_true_obj()
+
+    for lqr_iter in (2, 5):
+        ctrl = ref_mpc.MPC(
+            3, 1, T, -2.0, 2.0, lqr_iter=lqr_iter, n_batch=B,
+            backprop=False, exit_unconverged=False,
+            detach_unconverged=False, verbose=-1, eps=0.0,
+            grad_method=RefGradMethods.AUTO_DIFF,
+            linesearch_decay=0.2, max_linesearch_iter=5)
+        _, u_ref, _ = ctrl(tt(x0), RefQuadCost(Q, p), _RefTorchPendulum())
+
+        cfg = MPCConfig(
+            n_state=3, n_ctrl=1, T=T, lqr_iter=lqr_iter,
+            grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+            exit_unconverged=False, detach_unconverged=False,
+            backprop=False, linesearch_decay=0.2, max_linesearch_iter=5,
+            use_fused='never')
+        sol = batched_solve(cfg, jnp.asarray(x0),
+                            QuadCost(jnp.diag(q_j), p_j), dx,
+                            u_lower=-2.0, u_upper=2.0)
+        npt.assert_allclose(np.asarray(sol.u),
+                            u_ref.detach().numpy(), atol=1e-6)
