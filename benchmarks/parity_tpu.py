@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""TPU-side parity checks (run on real hardware; CI runs the CPU suite).
+
+Checks, each against an independent implementation:
+  1. fused kernel vs the PyTorch reference (f32 vs f64) on the pendulum
+     swing-up workload - the BASELINE north-star comparison;
+  2. fused kernel vs the jnp path for the multi-control box-constrained
+     LinDx case (in-kernel PNQP vs vmapped PNQP);
+  3. solve_sharded (shard_map + fused kernel) vs the unsharded local
+     solve - must be bit-exact.
+
+Usage: python benchmarks/parity_tpu.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+sys.path.insert(0, '/root/reference')
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu import GradMethods, LinDx, MPCConfig, QuadCost
+from mpc_tpu.learning import batched_solve
+from mpc_tpu.models import PendulumDx
+from mpc_tpu.parallel import make_mesh, solve_sharded
+
+
+def check_vs_reference(B=64, T=20, IT=10):
+    import torch
+    from mpc import mpc as ref_mpc
+    from mpc.mpc import GradMethods as TGrad
+    from mpc.mpc import QuadCost as TQuadCost
+
+    rng = np.random.RandomState(11)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0_np = np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1)
+
+    class TorchPendulum(torch.nn.Module):
+        def forward(self, x, u):
+            g, m, l = 10., 1., 1.
+            dt = 0.05
+            u = torch.clamp(u, -2., 2.)[:, 0]
+            cos_th, sin_th, dth = torch.unbind(x, dim=1)
+            newdth = dth + dt * (-3. * g / (2. * l) * (-sin_th)
+                                 + 3. * u / (m * l ** 2))
+            newth = torch.atan2(sin_th, cos_th) + newdth * dt
+            return torch.stack(
+                (torch.cos(newth), torch.sin(newth), newdth), 1)
+
+    x0t = torch.tensor(x0_np, dtype=torch.float64)
+    Q = torch.diag(torch.tensor([1., 1., 0.1, 0.001], dtype=torch.float64))
+    p = torch.tensor([-1., 0, 0, 0], dtype=torch.float64)
+    ctrl = ref_mpc.MPC(3, 1, T, -2.0, 2.0, lqr_iter=IT, n_batch=B,
+                       backprop=False, exit_unconverged=False,
+                       detach_unconverged=False, verbose=-1, eps=0.0,
+                       grad_method=TGrad.AUTO_DIFF,
+                       linesearch_decay=0.2, max_linesearch_iter=5)
+    _, u_ref, _ = ctrl(x0t, TQuadCost(Q, p), TorchPendulum().double())
+    u_ref = u_ref.detach().numpy()
+
+    dx = PendulumDx(params=jnp.array([10., 1., 1.], jnp.float32))
+    q, pj = dx.get_true_obj()
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=IT,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=5)
+    u = np.asarray(jax.jit(lambda x0: batched_solve(
+        cfg, x0, QuadCost(jnp.diag(q).astype(jnp.float32),
+                          jnp.asarray(pj, jnp.float32)),
+        dx, u_lower=-2.0, u_upper=2.0).u)(jnp.asarray(x0_np, jnp.float32)))
+    d = np.abs(u - u_ref)
+    print(f'[1] fused TPU f32 vs reference f64: max {d.max():.3e} '
+          f'mean {d.mean():.3e} frac>1e-3 {np.mean(d > 1e-3):.4f}')
+    assert d.mean() < 1e-4 and np.mean(d > 1e-3) < 0.01
+
+
+def check_multictrl_box(B=2048, T=5, ns=3, nc=4):
+    ntau = ns + nc
+    rng = np.random.RandomState(0)
+    C = rng.randn(T, B, ntau, ntau).astype(np.float32)
+    C = np.einsum('tbij,tbkj->tbik', C, C) + \
+        0.5 * np.eye(ntau, dtype=np.float32)
+    c = rng.randn(T, B, ntau).astype(np.float32)
+    F = np.concatenate([
+        np.tile(np.eye(ns, dtype=np.float32), (T - 1, B, 1, 1))
+        + 0.1 * rng.randn(T - 1, B, ns, ns).astype(np.float32),
+        0.5 * rng.randn(T - 1, B, ns, nc).astype(np.float32)], 3)
+    f = 0.1 * rng.randn(T - 1, B, ns).astype(np.float32)
+    x0 = jnp.asarray(rng.randn(B, ns).astype(np.float32))
+    lb = jnp.asarray(-np.abs(rng.randn(T, B, nc)).astype(np.float32) - 0.1)
+    ub = jnp.asarray(np.abs(rng.randn(T, B, nc)).astype(np.float32) + 0.1)
+    cfg = MPCConfig(n_state=ns, n_ctrl=nc, T=T, lqr_iter=10, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, pnqp_iter=20)
+    args = (x0, jnp.asarray(C), jnp.asarray(c), jnp.asarray(F),
+            jnp.asarray(f), lb, ub)
+
+    def run(cfg_):
+        return np.asarray(jax.jit(
+            lambda x0, C, c, F, f, lb, ub: batched_solve(
+                cfg_, x0, QuadCost(C, c), LinDx(F, f),
+                u_lower=lb, u_upper=ub).u)(*args))
+
+    d = np.abs(run(cfg) -
+               run(dataclasses.replace(cfg, use_fused='never')))
+    print(f'[2] fused vs jnp, n_ctrl={nc} box: max {d.max():.3e} '
+          f'mean {d.mean():.3e}')
+    assert d.max() < 1e-2 and d.mean() < 1e-4
+
+
+def check_shard_map(B=2048, T=20):
+    dx = PendulumDx()
+    rng = np.random.RandomState(0)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1),
+                     jnp.float32)
+    q, p = dx.get_true_obj()
+    C = jnp.diag(q).astype(jnp.float32)
+    c = jnp.asarray(p, jnp.float32)
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=10,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=5)
+    mesh = make_mesh(jax.devices())
+    sol = solve_sharded(cfg, mesh, x0, QuadCost(C, c), dx,
+                        u_lower=-2.0, u_upper=2.0)
+    u_ref = jax.jit(lambda x0: batched_solve(
+        cfg, x0, QuadCost(C, c), dx, u_lower=-2.0, u_upper=2.0).u)(x0)
+    d = float(jnp.max(jnp.abs(sol.u - u_ref)))
+    print(f'[3] solve_sharded ({mesh.devices.size} dev) vs local: '
+          f'max {d:.3e}')
+    assert d == 0.0
+
+
+if __name__ == '__main__':
+    check_vs_reference()
+    check_multictrl_box()
+    check_shard_map()
+    print('ALL TPU PARITY CHECKS PASS')

@@ -119,7 +119,9 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
     in_axes = (
         0,
         _cost_axes(cost),
-        jax.tree_util.tree_map(lambda _: 1, dynamics)
+        LinDx(1 if jnp.ndim(dynamics.F) == 4 else None,
+              (1 if jnp.ndim(dynamics.f) == 3 else None)
+              if dynamics.f is not None else None)
         if isinstance(dynamics, (LinDx,)) else None,
         (1 if jnp.ndim(u_init) == 3 else None) if u_init is not None
         else None,

@@ -1,31 +1,40 @@
 """Fused single-kernel iLQR solver (Pallas, TPU).
 
 The jnp solver (solver.py + ops/lqr.py) expresses one outer iLQR
-iteration as ~10^3 small XLA ops over [B, 3..5, 3..5] tensors; on TPU
+iteration as ~10^3 small XLA ops over [B, 3..8, 3..8] tensors; on TPU
 the solve is bound by per-op dispatch and HBM round-trips between those
 tiny ops, not by FLOPs (each op moves KBs and does tens of FLOPs per
 lane).  This module fuses the ENTIRE solve - initial rollout,
-linearization, Riccati recursion, line-searched forward rollouts,
-per-example best-solution tracking and stopping - into ONE Pallas
-kernel, with the scenario batch laid out on the vector lanes:
+linearization, Riccati recursion, box-QP inner solver, line-searched
+forward rollouts, per-example best-solution tracking and stopping -
+into ONE Pallas kernel, with the scenario batch laid out on the vector
+lanes:
 
   * a batch tile of 1024 examples is viewed as an (8, 128) VPU tile;
-  * every scalar of the small per-example matrices (V, Q, K, ...)
+  * every scalar of the small per-example matrices (V, Q, K, L, ...)
     becomes one (8, 128) vector register covering the whole tile;
-  * the small-dimension loops (n_state <= 8, horizon T) are unrolled in
-    Python, so each kernel instruction is a full-width VPU op and all
-    intermediates stay in registers/VMEM - zero HBM traffic between the
-    phases of an iteration;
+  * the small-dimension loops (n_state/n_ctrl <= ~8, horizon T) are
+    unrolled in Python, so each kernel instruction is a full-width VPU
+    op and all intermediates stay in registers/VMEM - zero HBM traffic
+    between the phases of an iteration;
   * the grid runs over batch tiles.
 
 Scope (dispatch falls back to the jnp path otherwise - see
-``supports``): n_ctrl == 1 (closed-form 1-D box QP replaces PNQP, see
-ops/pnqp.py:pnqp_1d), quadratic cost, nonlinear dynamics given in
-structure-of-arrays form (``soa_step``/``soa_params`` on the model; the
-Jacobian is extracted in-kernel with ``jax.linearize``), float32, no
-slew/u_zero_I/delta_u.  This covers the flagship batched control
-workloads (pendulum, cartpole, gym pendulums - reference
-mpc/env_dx/pendulum.py, cartpole.py, examples/gym_pendulum*.py).
+``supports``): quadratic cost; dynamics either in structure-of-arrays
+form (``soa_step``/``soa_params`` on the model, Jacobians extracted
+in-kernel with ``jax.linearize``) or ``LinDx``; float32; no
+slew/u_zero_I/delta_u.  The box-constrained control solve is the
+closed-form 1-D QP for n_ctrl == 1 (ops/pnqp.py:pnqp_1d) and an
+in-kernel projected-Newton QP with masked unrolled Cholesky solves for
+n_ctrl > 1 (same semantics as ops/pnqp.py: clamped-start, active-set
+masking, parallel Armijo on the deterministic 0.1-decay schedule,
+||dx|| < 1e-4 convergence with frozen lanes).  The unconstrained
+multi-control solve uses Cholesky instead of the reference's
+per-example pinverse (documented deviation, SURVEY.md section 7).
+
+Inputs may be batched ([T, B, ...] - streamed through VMEM) or
+batch-shared ([T, ...] / [...] and scalar bounds - kept in SMEM as
+scalars, skipping the broadcast + relayout + streaming entirely).
 
 Semantics match solver.solve_single with one documented deviation: the
 outer loop runs per-example ("freeze converged lanes") instead of the
@@ -37,7 +46,6 @@ satisfied the same criterion.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -46,28 +54,45 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import QuadCost, Solution
+from ..types import LinDx, QuadCost, Solution
 
 SUB, LANE = 8, 128
 TILE = SUB * LANE            # batch examples per kernel program
+
+PNQP_GAMMA = 0.1
+PNQP_LS_DECAY = 0.1
+PNQP_MAX_LS = 10
+PNQP_CONV_TOL = 1e-4
+
+
+def _is_soa(dynamics):
+    return hasattr(dynamics, 'soa_step') and hasattr(dynamics, 'soa_params')
 
 
 def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
              dtype=jnp.float32) -> bool:
     """Static dispatch check for the fused path."""
+    if isinstance(dynamics, LinDx):
+        dyn_ok = getattr(dynamics.F, 'ndim', 0) in (3, 4) and (
+            dynamics.f is None
+            or getattr(dynamics.f, 'ndim', 0) == getattr(
+                dynamics.F, 'ndim', 0) - 1)
+    else:
+        dyn_ok = _is_soa(dynamics)
     return (
-        cfg.n_ctrl == 1
-        and cfg.slew_rate_penalty is None
+        cfg.slew_rate_penalty is None
         and cfg.delta_u is None
         and u_zero_I is None
         and prev_ctrl is None
         and not cfg.backprop
         and cfg.verbose <= 0
         and isinstance(cost, QuadCost)
-        # batched [T, B, ...] (VMEM) or batch-shared [T, ...]/[...] (SMEM)
+        # batched [T, B, ...] (VMEM) or batch-shared [T, ...]/[...] (SMEM);
+        # C and c must agree on which (mixed layouts fall back to jnp)
         and getattr(cost.C, 'ndim', 0) in (2, 3, 4)
-        and hasattr(dynamics, 'soa_step')
-        and hasattr(dynamics, 'soa_params')
+        and (getattr(cost.C, 'ndim', 0) == 4) ==
+            (getattr(cost.c, 'ndim', 0) == 3)
+        and dyn_ok
         and dtype == jnp.float32
     )
 
@@ -92,55 +117,152 @@ def _quad_lin_cost(Ct, ct, tau):
     return acc
 
 
-def _linearize(step, xs, u):
-    """Per-lane Jacobian (R [ns][ns], S [ns]) of an SoA dynamics step.
+def _cholesky(A, n, jitter=0.0):
+    """Unrolled lane-wise Cholesky of an SPD n x n (lists of vectors).
+    The upper triangle is filled with zeros so the factor is a complete
+    pytree (it rides a fori_loop carry in the in-kernel PNQP)."""
+    L = _mat(n, n)
+    z = A[0][0] * 0.0
+    for i in range(n):
+        for j in range(i + 1, n):
+            L[i][j] = z
+    for j in range(n):
+        s = A[j][j] + jitter
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s2 = A[i][j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 * inv
+    return L
 
-    ``step`` is elementwise across lanes, so its lane-space Jacobian is
-    diagonal; a jvp with an all-ones tangent in component j yields
-    column j of the per-lane small Jacobian.  (TPU-native replacement
-    for the reference's three linearization modes, mpc/mpc.py:490-601.)
+
+def _chol_solve(L, b, n):
+    """Solve (L L^T) x = b with the unrolled factor."""
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _masked_free_chol(H, free, n):
+    """Cholesky of the free-subspace-masked Hessian: clamped rows/cols
+    zeroed, unit diagonal on clamped entries (ops/linalg.py:
+    masked_free_matrix - the 1.0 diagonal is the documented deviation
+    from the reference's 1e-11, mpc/pnqp.py:48)."""
+    Hm = _mat(n, n)
+    for i in range(n):
+        for j in range(n):
+            both = free[i] & free[j]
+            Hm[i][j] = jnp.where(both, H[i][j], 0.0)
+        Hm[i][i] = jnp.where(free[i], H[i][i], 1.0)
+    return _cholesky(Hm, n)
+
+
+def _pnqp_kernel(H, q, lo, hi, x0, n, n_iter):
+    """In-kernel batched projected-Newton box QP (ops/pnqp.py:pnqp with
+    parallel Armijo), lists-of-lane-vectors form.
+
+    Returns (x, L_free, free, n_iter_mask_sum) where L_free is the
+    Cholesky factor of the final free-masked Hessian (used for the
+    feedback-gain solve, reference mpc/lqr_step.py:135-148).
     """
-    ns = len(xs)
-    ones = jnp.ones_like(u)
-    zeros = jnp.zeros_like(u)
-    _, lin = jax.linearize(step, tuple(xs), u)
-    R = _mat(ns, ns)
-    for j in range(ns):
-        tang = tuple(ones if i == j else zeros for i in range(ns))
-        col = lin(tang, zeros)
-        for i in range(ns):
-            R[i][j] = col[i]
-    Scol = lin(tuple(zeros for _ in range(ns)), ones)
-    S = [Scol[i] for i in range(ns)]
-    return R, S
+    zero = x0[0] * 0.0
+    one = zero + 1.0
+    x = [jnp.clip(x0[i], lo[i], hi[i]) for i in range(n)]
+
+    def obj(z):
+        acc = 0.0
+        for i in range(n):
+            s = 0.0
+            for j in range(n):
+                s = s + H[i][j] * z[j]
+            acc = acc + (0.5 * s + q[i]) * z[i]
+        return acc
+
+    def body(_, st):
+        x, done_f, _L, _free_f, iters = st
+        done = done_f > 0.5
+        g = [sum(H[i][j] * x[j] for j in range(n)) + q[i]
+             for i in range(n)]
+        clamped = [((x[i] == lo[i]) & (g[i] > 0)) |
+                   ((x[i] == hi[i]) & (g[i] < 0)) for i in range(n)]
+        free = [~clamped[i] for i in range(n)]
+        g_ = [jnp.where(clamped[i], 0.0, g[i]) for i in range(n)]
+        L_free = _masked_free_chol(H, free, n)
+        dx = [-d for d in _chol_solve(L_free, g_, n)]
+
+        dx2 = 0.0
+        for i in range(n):
+            dx2 = dx2 + dx[i] * dx[i]
+        conv = jnp.sqrt(dx2) < PNQP_CONV_TOL
+        done_new = done | conv
+
+        # parallel Armijo over the deterministic decay schedule
+        # (first trial with ratio > GAMMA, else the last computed)
+        ox = obj(x)
+        found = None
+        sel = None
+        for k in range(PNQP_MAX_LS):
+            a = PNQP_LS_DECAY ** k
+            xt = [jnp.clip(x[i] + a * dx[i], lo[i], hi[i])
+                  for i in range(n)]
+            num = ox - obj(xt)
+            den = sum(g[i] * (x[i] - xt[i]) for i in range(n))
+            armijo = jnp.where(jnp.abs(den) < 1e-30, PNQP_GAMMA + 1e-6,
+                               num / den)
+            if k == 0:
+                sel = xt
+                found = armijo > PNQP_GAMMA
+            else:
+                take = ~found
+                sel = [jnp.where(take, xt[i], sel[i]) for i in range(n)]
+                found = found | (take & (armijo > PNQP_GAMMA))
+
+        x_new = [jnp.where(done_new, x[i], sel[i]) for i in range(n)]
+        iters_new = iters + jnp.where(done, 0.0, 1.0)
+        free_f = [jnp.where(free[i], one, zero) for i in range(n)]
+        return (x_new, jnp.where(done_new, one, zero), L_free, free_f,
+                iters_new)
+
+    eye0 = _mat(n, n)
+    for i in range(n):
+        for j in range(n):
+            eye0[i][j] = one if i == j else zero
+    init = (x, zero, eye0, [one for _ in range(n)], zero)
+    x, _, L_free, free_f, iters = lax.fori_loop(0, n_iter, body, init,
+                                                unroll=False)
+    free = [f > 0.5 for f in free_f]
+    return x, L_free, free, iters
 
 
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _read_mat(ref, t, n, m):
-    return [[ref[t, i, j, 0] for j in range(m)] for i in range(n)]
-
-
-def _read_vec(ref, t, n):
-    return [ref[t, i, 0] for i in range(n)]
-
-
-def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
-                 lqr_iter, eps, best_cost_eps, not_improved_lim,
-                 linesearch_decay, max_linesearch_iter,
-                 cost_smem=False, bounds_scalar=False):
-    ntau = ns + 1
+def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
+                 has_f, lqr_iter, pnqp_iter, eps, best_cost_eps,
+                 not_improved_lim, linesearch_decay, max_linesearch_iter,
+                 cost_smem=False, bounds_smem=False, dyn_smem=False):
+    ntau = ns + nc
     alphas = [linesearch_decay ** k for k in range(max_linesearch_iter)]
 
-    def kernel(params_ref, C_ref, c_ref, x0_ref, u0_ref, lb_ref, ub_ref,
-               xout_ref, uout_ref, stats_ref):
-        params = tuple(params_ref[0, k] for k in range(n_params))
-        step = lambda xs, u: soa_step(xs, u, params)
-
+    def kernel(params_ref, C_ref, c_ref, F_ref, f_ref, x0_ref, u0_ref,
+               lb_ref, ub_ref, xout_ref, uout_ref, stats_ref):
         x0 = [x0_ref[i, 0] for i in range(ns)]
-        u0 = [u0_ref[t, 0, 0] for t in range(T)]
+        u0 = [[u0_ref[t, j, 0] for j in range(nc)] for t in range(T)]
         if cost_smem:
             # batch-shared quadratic cost: scalars from SMEM, broadcast
             # lazily against the lane vectors (saves the [T, B, n, n]
@@ -149,15 +271,55 @@ def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
                   for i in range(ntau)] for t in range(T)]
             c = [[c_ref[t, i] for i in range(ntau)] for t in range(T)]
         else:
-            C = [_read_mat(C_ref, t, ntau, ntau) for t in range(T)]
-            c = [_read_vec(c_ref, t, ntau) for t in range(T)]
+            C = [[[C_ref[t, i, j, 0] for j in range(ntau)]
+                  for i in range(ntau)] for t in range(T)]
+            c = [[c_ref[t, i, 0] for i in range(ntau)] for t in range(T)]
         if has_bounds:
-            if bounds_scalar:
-                lb = [lb_ref[0, 0] for _ in range(T)]
-                ub = [ub_ref[0, 1] for _ in range(T)]
+            if bounds_smem:
+                lb = [[lb_ref[t, j] for j in range(nc)] for t in range(T)]
+                ub = [[ub_ref[t, j] for j in range(nc)] for t in range(T)]
             else:
-                lb = [lb_ref[t, 0, 0] for t in range(T)]
-                ub = [ub_ref[t, 0, 0] for t in range(T)]
+                lb = [[lb_ref[t, j, 0] for j in range(nc)]
+                      for t in range(T)]
+                ub = [[ub_ref[t, j, 0] for j in range(nc)]
+                      for t in range(T)]
+
+        if dyn_mode == 'soa':
+            params = tuple(params_ref[0, k] for k in range(n_params))
+
+            # SoA models with nc == 1 take the control as a bare vector
+            if nc == 1:
+                def step(xs, us):
+                    return soa_step(tuple(xs), us[0], params)
+            else:
+                def step(xs, us):
+                    return soa_step(tuple(xs), tuple(us), params)
+        else:
+            if dyn_smem:
+                Fm = [[[F_ref[t, i * ntau + j] for j in range(ntau)]
+                       for i in range(ns)] for t in range(T - 1)]
+                fv = ([[f_ref[t, i] for i in range(ns)]
+                       for t in range(T - 1)] if has_f else None)
+            else:
+                Fm = [[[F_ref[t, i, j, 0] for j in range(ntau)]
+                       for i in range(ns)] for t in range(T - 1)]
+                fv = ([[f_ref[t, i, 0] for i in range(ns)]
+                       for t in range(T - 1)] if has_f else None)
+
+        def dyn_step(t, xs, us):
+            """True dynamics x_{t+1} = f(x_t, u_t)."""
+            if dyn_mode == 'soa':
+                return list(step(xs, us))
+            tau = list(xs) + list(us)
+            out = []
+            for i in range(ns):
+                s = 0.0
+                for j in range(ntau):
+                    s = s + Fm[t][i][j] * tau[j]
+                if fv is not None:
+                    s = s + fv[t][i]
+                out.append(s)
+            return out
 
         # derive the loop-carry constants from loaded data: literal
         # constants get a lane-replicated register layout, and Mosaic
@@ -170,13 +332,14 @@ def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
         def rollout_init(u_seq):
             xs = [x0]
             for t in range(T - 1):
-                xs.append(list(step(tuple(xs[t]), u_seq[t])))
+                xs.append(dyn_step(t, xs[t], u_seq[t]))
             return xs
 
         def traj_cost(x_seq, u_seq):
             acc = 0.0
             for t in range(T):
-                acc = acc + _quad_lin_cost(C[t], c[t], x_seq[t] + [u_seq[t]])
+                acc = acc + _quad_lin_cost(C[t], c[t],
+                                           x_seq[t] + u_seq[t])
             return acc
 
         x_init_traj = rollout_init(u0)
@@ -188,32 +351,62 @@ def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
 
             # ---- linearize + Taylor-recentred linear term ----------------
             # (reference mpc/mpc.py:255 + mpc/lqr_step.py:284-295)
-            F = []          # F[t] = [R S]  [ns][ntau]
-            for t in range(T - 1):
-                R, S = _linearize(step, x[t], u[t])
-                F.append([[R[i][j] for j in range(ns)] + [S[i]]
-                          for i in range(ns)])
+            if dyn_mode == 'soa':
+                F = []
+                ones_v = one
+                zeros_v = zero
+                for t in range(T - 1):
+                    if nc == 1:
+                        prim = (tuple(x[t]), u[t][0])
+                    else:
+                        prim = (tuple(x[t]), tuple(u[t]))
+                    _, lin = jax.linearize(step, *prim)
+                    Ft = _mat(ns, ntau)
+                    for j in range(ns):
+                        tang_x = tuple(ones_v if i == j else zeros_v
+                                       for i in range(ns))
+                        if nc == 1:
+                            col = lin(tang_x, zeros_v)
+                        else:
+                            col = lin(tang_x,
+                                      tuple(zeros_v for _ in range(nc)))
+                        for i in range(ns):
+                            Ft[i][j] = col[i]
+                    for j in range(nc):
+                        if nc == 1:
+                            col = lin(tuple(zeros_v for _ in range(ns)),
+                                      ones_v)
+                        else:
+                            col = lin(tuple(zeros_v for _ in range(ns)),
+                                      tuple(ones_v if i == j else zeros_v
+                                            for i in range(nc)))
+                        for i in range(ns):
+                            Ft[i][ns + j] = col[i]
+                    F.append(Ft)
+            else:
+                F = Fm
+
             cb = []
             for t in range(T):
-                tau = x[t] + [u[t]]
+                tau = x[t] + u[t]
                 cb.append([
                     sum(C[t][i][j] * tau[j] for j in range(ntau)) + c[t][i]
                     for i in range(ntau)])
 
             # ---- Riccati backward recursion ------------------------------
             # (reference mpc/lqr_step.py:52-160; delta-space gains)
-            K = [None] * T      # K[t][j], j in ns   (n_ctrl == 1)
-            k = [None] * T
-            Vm = None           # cost-to-go quadratic  [ns][ns]
+            K = [None] * T      # K[t][j][i], j in nc rows, i in ns cols
+            k = [None] * T      # k[t][j]
+            Vm = None
             vv = None
-            qp_cnt = 0.0
+            qp_cnt = zero
+            prev_kt = None
             for t in range(T - 1, -1, -1):
                 if t == T - 1:
                     Qt = C[t]
                     qt = cb[t]
                 else:
                     Ft = F[t]
-                    # W = V @ F  -> [ns][ntau]
                     W = _mat(ns, ntau)
                     for i in range(ns):
                         for j in range(ntau):
@@ -229,37 +422,92 @@ def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
                                          for kk in range(ns))
                           for a in range(ntau)]
 
-                Quu = Qt[ns][ns]
-                qu = qt[ns]
-                inv_quu = 1.0 / Quu
-                kt_free = -qu * inv_quu
-                if has_bounds:
-                    # closed-form 1-D box QP on the delta control
-                    # (ops/pnqp.py:pnqp_1d; reference mpc/lqr_step.py:128-148)
-                    lo = lb[t] - u[t]
-                    hi = ub[t] - u[t]
-                    kt = jnp.clip(kt_free, lo, hi)
-                    g = Quu * kt + qu
-                    clamped = ((kt == lo) & (g > 0)) | ((kt == hi) & (g < 0))
-                    Kt = [jnp.where(clamped, 0.0, -Qt[ns][j] * inv_quu)
-                          for j in range(ns)]
-                    qp_cnt = qp_cnt + 1.0
+                Quu = [[Qt[ns + i][ns + j] for j in range(nc)]
+                       for i in range(nc)]
+                Qux = [[Qt[ns + i][j] for j in range(ns)]
+                       for i in range(nc)]
+                qu = [qt[ns + i] for i in range(nc)]
+
+                if not has_bounds:
+                    if nc == 1:
+                        inv = 1.0 / Quu[0][0]
+                        kt = [-qu[0] * inv]
+                        Kt = [[-Qux[0][j] * inv for j in range(ns)]]
+                    else:
+                        # Cholesky with jitter instead of the
+                        # reference's per-example pinverse
+                        # (mpc/lqr_step.py:89-94; SURVEY.md section 7)
+                        L = _cholesky(Quu, nc, jitter=1e-11)
+                        kt = [-v for v in _chol_solve(L, qu, nc)]
+                        Kt = []
+                        cols = [_chol_solve(
+                            L, [Qux[i][j] for i in range(nc)], nc)
+                            for j in range(ns)]
+                        Kt = [[-cols[j][i] for j in range(ns)]
+                              for i in range(nc)]
                 else:
-                    kt = kt_free
-                    Kt = [-Qt[ns][j] * inv_quu for j in range(ns)]
+                    lo = [lb[t][j] - u[t][j] for j in range(nc)]
+                    hi = [ub[t][j] - u[t][j] for j in range(nc)]
+                    if nc == 1:
+                        # closed-form 1-D box QP (ops/pnqp.py:pnqp_1d)
+                        Quu_s = Quu[0][0]
+                        inv = 1.0 / Quu_s
+                        kf = -qu[0] * inv
+                        kv = jnp.clip(kf, lo[0], hi[0])
+                        g = Quu_s * kv + qu[0]
+                        clamped = ((kv == lo[0]) & (g > 0)) | \
+                            ((kv == hi[0]) & (g < 0))
+                        kt = [kv]
+                        Kt = [[jnp.where(clamped, 0.0, -Qux[0][j] * inv)
+                               for j in range(ns)]]
+                        qp_cnt = qp_cnt + 1.0
+                    else:
+                        # warm start with the previous step's k_t
+                        # (reference mpc/lqr_step.py:135-137)
+                        if prev_kt is None:
+                            L0 = _cholesky(Quu, nc, jitter=1e-11)
+                            x_init = [-v for v in _chol_solve(L0, qu, nc)]
+                        else:
+                            x_init = prev_kt
+                        kt, L_free, free, qp_it = _pnqp_kernel(
+                            Quu, qu, lo, hi, x_init, nc, pnqp_iter)
+                        qp_cnt = qp_cnt + qp_it
+                        cols = [_chol_solve(
+                            L_free,
+                            [jnp.where(free[i], Qux[i][j], 0.0)
+                             for i in range(nc)], nc)
+                            for j in range(ns)]
+                        Kt = [[-cols[j][i] for j in range(ns)]
+                              for i in range(nc)]
+                    prev_kt = kt
                 K[t] = Kt
                 k[t] = kt
 
                 # cost-to-go update (reference mpc/lqr_step.py:155-158)
+                # V = Qxx + Qxu K + K^T Qux + K^T Quu K ; likewise v
+                QK = _mat(ns, ns)     # Qxu @ K
+                for i in range(ns):
+                    for j in range(ns):
+                        QK[i][j] = sum(Qt[i][ns + m] * Kt[m][j]
+                                       for m in range(nc))
+                KQuu = _mat(nc, ns)   # Quu @ K  (transposed use)
+                for m in range(nc):
+                    for j in range(ns):
+                        KQuu[m][j] = sum(Quu[m][mm] * Kt[mm][j]
+                                         for mm in range(nc))
                 Vn = _mat(ns, ns)
                 for i in range(ns):
                     for j in range(i, ns):
-                        Vn[i][j] = (Qt[i][j] + Qt[i][ns] * Kt[j]
-                                    + Kt[i] * Qt[ns][j]
-                                    + Kt[i] * Quu * Kt[j])
+                        kqk = sum(Kt[m][i] * KQuu[m][j] for m in range(nc))
+                        Vn[i][j] = Qt[i][j] + QK[i][j] + QK[j][i] + kqk
                         Vn[j][i] = Vn[i][j]
-                vn = [qt[i] + Qt[i][ns] * kt + Kt[i] * qu
-                      + Kt[i] * Quu * kt for i in range(ns)]
+                Quuk = [sum(Quu[m][mm] * kt[mm] for mm in range(nc))
+                        for m in range(nc)]
+                vn = [qt[i]
+                      + sum(Qt[i][ns + m] * kt[m] for m in range(nc))
+                      + sum(Kt[m][i] * (qu[m] + Quuk[m])
+                            for m in range(nc))
+                      for i in range(ns)]
                 Vm, vv = Vn, vn
 
             # ---- line-searched forward rollout ---------------------------
@@ -279,20 +527,24 @@ def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
                 cost_a = 0.0
                 for t in range(T):
                     dxt = [nx[t][i] - x[t][i] for i in range(ns)]
-                    ut = (sum(K[t][j] * dxt[j] for j in range(ns))
-                          + u[t] + a * k[t])
-                    if has_bounds:
-                        ut = jnp.clip(ut, lb[t], ub[t])
+                    ut = []
+                    for m in range(nc):
+                        v = (sum(K[t][m][j] * dxt[j] for j in range(ns))
+                             + u[t][m] + a * k[t][m])
+                        if has_bounds:
+                            v = jnp.clip(v, lb[t][m], ub[t][m])
+                        ut.append(v)
                     nu.append(ut)
                     cost_a = cost_a + _quad_lin_cost(C[t], c[t],
-                                                     nx[t] + [ut])
+                                                     nx[t] + ut)
                     if t < T - 1:
-                        nx.append(list(step(tuple(nx[t]), ut)))
+                        nx.append(dyn_step(t, nx[t], ut))
                 if ki == 0:
                     du2 = 0.0
                     for t in range(T):
-                        d = u[t] - nu[t]
-                        du2 = du2 + d * d
+                        for m in range(nc):
+                            d = u[t][m] - nu[t][m]
+                            du2 = du2 + d * d
                     full_du = jnp.sqrt(du2)
                     sel_x, sel_u = nx, nu
                     sel_cost = cost_a
@@ -302,8 +554,8 @@ def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
                     take = ~found
                     sel_x = [[jnp.where(take, nx[t][i], sel_x[t][i])
                               for i in range(ns)] for t in range(T)]
-                    sel_u = [jnp.where(take, nu[t], sel_u[t])
-                             for t in range(T)]
+                    sel_u = [[jnp.where(take, nu[t][m], sel_u[t][m])
+                              for m in range(nc)] for t in range(T)]
                     sel_cost = jnp.where(take, cost_a, sel_cost)
                     sel_alpha = jnp.where(take, a, sel_alpha)
                     found = found | (take & (cost_a <= old_cost))
@@ -317,16 +569,14 @@ def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
                                 jnp.where(improved & jnp.logical_not(first),
                                           0.0, nni + 1.0), nni)
 
-            def upd_traj(new, old):
-                return [[jnp.where(active, new[t][i], old[t][i])
-                         for i in range(len(new[t]))] for t in range(T)]
-
-            x_new = upd_traj(sel_x, x)
-            u_new = [jnp.where(active, sel_u[t], u[t]) for t in range(T)]
+            x_new = [[jnp.where(active, sel_x[t][i], x[t][i])
+                      for i in range(ns)] for t in range(T)]
+            u_new = [[jnp.where(active, sel_u[t][m], u[t][m])
+                      for m in range(nc)] for t in range(T)]
             best_x_new = [[jnp.where(take_best, sel_x[t][i], best_x[t][i])
                            for i in range(ns)] for t in range(T)]
-            best_u_new = [jnp.where(take_best, sel_u[t], best_u[t])
-                          for t in range(T)]
+            best_u_new = [[jnp.where(take_best, sel_u[t][m], best_u[t][m])
+                           for m in range(nc)] for t in range(T)]
             best_cost_new = jnp.where(take_best, sel_cost, best_cost)
             best_du_new = jnp.where(take_best, full_du, best_du)
             cur_du_new = jnp.where(active, full_du, cur_du)
@@ -343,9 +593,9 @@ def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
 
         init = (
             x_init_traj,
-            list(u0),
+            [list(ut) for ut in u0],
             x_init_traj,
-            list(u0),
+            [list(ut) for ut in u0],
             big,                 # best_cost = +inf
             big,                 # best_du
             big,                 # cur_du
@@ -362,7 +612,8 @@ def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
         for t in range(T):
             for i in range(ns):
                 xout_ref[t, i, 0] = best_x[t][i]
-            uout_ref[t, 0, 0] = best_u[t]
+            for m in range(nc):
+                uout_ref[t, m, 0] = best_u[t][m]
         stats_ref[0, 0] = best_cost
         stats_ref[1, 0] = best_du
         stats_ref[2, 0] = n_it
@@ -376,25 +627,18 @@ def _make_kernel(*, T, ns, has_bounds, soa_step, n_params,
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
-def _to_lanes(a, B, G):
-    """[.., B, ..] with batch LAST -> [.., G, 8, 128]."""
-    return a.reshape(a.shape[:-1] + (G, SUB, LANE))
-
-
 def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                         u_init=None, u_lower=None, u_upper=None,
                         interpret: bool = False) -> Solution:
     """Batched solve through the fused kernel.
 
     Layouts match learning.batched_solve: x_init [B, ns]; bounds/u_init
-    time-major [T, B, ...].  The cost may be batched ([T, B, n, n] -
-    streamed through VMEM) or batch-shared ([T, n, n] / [n, n] - kept in
-    SMEM as scalars, skipping the broadcast + relayout + streaming).
-    Scalar (0-d) bounds likewise ride SMEM.  Returns a batched Solution
-    (out_axes matching the vmapped path).
+    time-major [T, B, ...].  Cost / LinDx / bounds may be batched
+    (streamed through VMEM) or batch-shared / scalar (kept in SMEM).
+    Returns a batched Solution (out_axes matching the vmapped path).
     """
-    T, ns = cfg.T, cfg.n_state
-    ntau = ns + 1
+    T, ns, nc = cfg.T, cfg.n_state, cfg.n_ctrl
+    ntau = ns + nc
     B = x_init.shape[0]
     dtype = jnp.float32
     has_bounds = u_lower is not None
@@ -410,97 +654,128 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
             widths[batch_axis] = (0, pad)
             a = jnp.pad(a, widths, mode='edge')
         a = jnp.moveaxis(a, batch_axis, -1)
-        return _to_lanes(a, Bp, G)
+        return a.reshape(a.shape[:-1] + (G, SUB, LANE))
 
+    dummy_smem = jnp.zeros((1, 1), dtype)
+
+    # ---- cost -------------------------------------------------------------
     Ca = jnp.asarray(cost.C, dtype)
     ca = jnp.asarray(cost.c, dtype)
     cost_smem = Ca.ndim < 4
     if cost_smem:
         C = jnp.broadcast_to(Ca, (T, ntau, ntau)).reshape(T, ntau * ntau)
         c = jnp.broadcast_to(ca, (T, ntau))
+        C_spec = _smem((T, ntau * ntau))
+        c_spec = _smem((T, ntau))
     else:
         C = prep(Ca, 1)                    # [T, ntau, ntau, G, 8, 128]
-        c = prep(ca, 1)                    # [T, ntau, G, 8, 128]
-    x0 = prep(x_init, 0)                   # [ns, G, 8, 128]
+        c = prep(ca, 1)
+        C_spec = _vmem((T, ntau, ntau, 1, SUB, LANE), 3)
+        c_spec = _vmem((T, ntau, 1, SUB, LANE), 2)
+
+    # ---- dynamics ----------------------------------------------------------
+    if isinstance(dynamics, LinDx):
+        dyn_mode = 'lindx'
+        Fa = jnp.asarray(dynamics.F, dtype)
+        has_f = dynamics.f is not None
+        dyn_smem = Fa.ndim == 3
+        if dyn_smem:
+            F = jnp.broadcast_to(Fa, (T - 1, ns, ntau)).reshape(
+                T - 1, ns * ntau)
+            F_spec = _smem((T - 1, ns * ntau))
+            if has_f:
+                f = jnp.broadcast_to(jnp.asarray(dynamics.f, dtype),
+                                     (T - 1, ns))
+                f_spec = _smem((T - 1, ns))
+        else:
+            F = prep(Fa, 1)
+            F_spec = _vmem((T - 1, ns, ntau, 1, SUB, LANE), 3)
+            if has_f:
+                f = prep(jnp.asarray(dynamics.f, dtype), 1)
+                f_spec = _vmem((T - 1, ns, 1, SUB, LANE), 2)
+        if not has_f:
+            f = dummy_smem
+            f_spec = _smem((1, 1))
+        params = dummy_smem
+        n_params = 0
+        soa_step = None
+    else:
+        dyn_mode = 'soa'
+        dyn_smem = False
+        has_f = False
+        F = dummy_smem
+        f = dummy_smem
+        F_spec = _smem((1, 1))
+        f_spec = _smem((1, 1))
+        plist = list(dynamics.soa_params())
+        n_params = len(plist)
+        params = (jnp.stack([jnp.asarray(p, dtype) for p in plist])[None]
+                  if n_params else dummy_smem)
+        soa_step = dynamics.soa_step
+
+    # ---- initial controls / bounds -----------------------------------------
     if u_init is None:
-        u0 = jnp.zeros((T, 1, G, SUB, LANE), dtype)
+        u0 = jnp.zeros((T, nc, G, SUB, LANE), dtype)
     else:
         u0 = prep(u_init, 1)
-    bounds_scalar = has_bounds and jnp.ndim(u_lower) == 0
-    if bounds_scalar:
-        lb = jnp.asarray(u_lower, dtype).reshape(1, 1)
-        lb = jnp.concatenate(
-            [lb, jnp.asarray(u_upper, dtype).reshape(1, 1)], axis=1)
-        ub = lb
-    elif has_bounds:
-        lb = prep(u_lower, 1)
-        ub = prep(u_upper, 1)
+    if has_bounds:
+        bounds_smem = jnp.ndim(u_lower) < 3
+        if bounds_smem:
+            lb = jnp.broadcast_to(jnp.asarray(u_lower, dtype), (T, nc))
+            ub = jnp.broadcast_to(jnp.asarray(u_upper, dtype), (T, nc))
+            b_spec = _smem((T, nc))
+        else:
+            lb = prep(u_lower, 1)
+            ub = prep(u_upper, 1)
+            b_spec = _vmem((T, nc, 1, SUB, LANE), 2)
     else:
-        lb = jnp.zeros((T, 1, G, SUB, LANE), dtype)
-        ub = lb
+        bounds_smem = True
+        lb = ub = jnp.zeros((T, nc), dtype)
+        b_spec = _smem((T, nc))
 
-    plist = list(dynamics.soa_params())
-    n_params = len(plist)
-    params = (jnp.stack([jnp.asarray(p, dtype) for p in plist])[None]
-              if n_params else jnp.zeros((1, 1), dtype))
+    x0 = prep(x_init, 0)                   # [ns, G, 8, 128]
 
     kernel = _make_kernel(
-        T=T, ns=ns, has_bounds=has_bounds,
-        soa_step=dynamics.soa_step, n_params=n_params,
-        lqr_iter=cfg.lqr_iter, eps=float(cfg.eps),
+        T=T, ns=ns, nc=nc, has_bounds=has_bounds,
+        dyn_mode=dyn_mode, soa_step=soa_step, n_params=n_params,
+        has_f=has_f,
+        lqr_iter=cfg.lqr_iter, pnqp_iter=int(cfg.pnqp_iter),
+        eps=float(cfg.eps),
         best_cost_eps=float(cfg.best_cost_eps),
         not_improved_lim=float(cfg.not_improved_lim),
         linesearch_decay=float(cfg.linesearch_decay),
         max_linesearch_iter=int(cfg.max_linesearch_iter),
-        cost_smem=cost_smem, bounds_scalar=bounds_scalar)
+        cost_smem=cost_smem, bounds_smem=bounds_smem, dyn_smem=dyn_smem)
 
-    def spec(block, imap):
-        return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
-
-    def smem(block):
-        return pl.BlockSpec(block, lambda g: tuple(0 for _ in block),
-                            memory_space=pltpu.SMEM)
-
-    g6 = lambda g: (0, 0, 0, g, 0, 0)
     g5 = lambda g: (0, 0, g, 0, 0)
     g4 = lambda g: (0, g, 0, 0)
-
-    if cost_smem:
-        C_spec = smem((T, ntau * ntau))
-        c_spec = smem((T, ntau))
-    else:
-        C_spec = spec((T, ntau, ntau, 1, SUB, LANE), g6)
-        c_spec = spec((T, ntau, 1, SUB, LANE), g5)
-    if bounds_scalar:
-        b_specs = [smem((1, 2)), smem((1, 2))]
-    else:
-        b_specs = [spec((T, 1, 1, SUB, LANE), g5),
-                   spec((T, 1, 1, SUB, LANE), g5)]
 
     xs, us, stats = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
-            smem((1, max(1, n_params))),
+            _smem((1, max(1, n_params))),
             C_spec,
             c_spec,
-            spec((ns, 1, SUB, LANE), g4),
-            spec((T, 1, 1, SUB, LANE), g5),
-            b_specs[0],
-            b_specs[1],
+            F_spec,
+            f_spec,
+            _vmem((ns, 1, SUB, LANE), 1),
+            _vmem((T, nc, 1, SUB, LANE), 2),
+            b_spec,
+            b_spec,
         ],
         out_specs=[
-            spec((T, ns, 1, SUB, LANE), g5),
-            spec((T, 1, 1, SUB, LANE), g5),
-            spec((5, 1, SUB, LANE), lambda g: (0, g, 0, 0)),
+            _vmem((T, ns, 1, SUB, LANE), 2),
+            _vmem((T, nc, 1, SUB, LANE), 2),
+            _vmem((5, 1, SUB, LANE), 1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, ns, G, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((T, 1, G, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((T, nc, G, SUB, LANE), dtype),
             jax.ShapeDtypeStruct((5, G, SUB, LANE), dtype),
         ],
         interpret=interpret,
-    )(params, C, c, x0, u0, lb, ub)
+    )(params, C, c, F, f, x0, u0, lb, ub)
 
     def unprep(a, batch_axis):
         a = a.reshape(a.shape[:-3] + (Bp,))
@@ -510,10 +785,24 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         return a[tuple(idx)]
 
     x = unprep(xs, 1)               # [T, B, ns]
-    u = unprep(us, 1)               # [T, B, 1]
+    u = unprep(us, 1)               # [T, B, nc]
     st = unprep(stats, 1)           # [5, B]
     best_cost, best_du, n_it, n_qp, alpha = (st[i] for i in range(5))
     return Solution(
         x=x, u=u, costs=best_cost, full_du_norm=best_du,
         n_iter=n_it.astype(jnp.int32), n_qp_iter=n_qp.astype(jnp.int32),
         converged=best_du < cfg.eps, mean_alpha=alpha)
+
+
+def _vmem(block, gaxis):
+    """VMEM BlockSpec: grid-g selects the batch-tile axis ``gaxis``."""
+
+    def imap(g):
+        return tuple(g if i == gaxis else 0 for i in range(len(block)))
+
+    return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
+
+
+def _smem(block):
+    return pl.BlockSpec(block, lambda g: tuple(0 for _ in block),
+                        memory_space=pltpu.SMEM)

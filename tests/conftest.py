@@ -19,3 +19,11 @@ import jax  # noqa: E402
 # overrides the env var, so force CPU through jax.config after import.
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+
+# Persistent compilation cache: the interpret-mode Pallas kernels and the
+# f64 solver graphs take minutes of XLA CPU compile time; cache them so
+# repeat suite runs skip the compiles.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(__file__), '..',
+                               '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)

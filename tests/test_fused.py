@@ -94,6 +94,59 @@ def test_fused_smem_cost_scalar_bounds():
                                np.asarray(fus.costs), atol=1e-4)
 
 
+def _lindx_problem(B, T, ns, nc, seed=0):
+    ntau = ns + nc
+    rng = np.random.RandomState(seed)
+    C = rng.randn(T, B, ntau, ntau).astype(np.float32)
+    C = np.einsum('tbij,tbkj->tbik', C, C) + \
+        0.5 * np.eye(ntau, dtype=np.float32)
+    c = rng.randn(T, B, ntau).astype(np.float32)
+    F = np.concatenate([
+        np.tile(np.eye(ns, dtype=np.float32), (T - 1, B, 1, 1))
+        + 0.1 * rng.randn(T - 1, B, ns, ns).astype(np.float32),
+        0.5 * rng.randn(T - 1, B, ns, nc).astype(np.float32)], 3)
+    f = 0.1 * rng.randn(T - 1, B, ns).astype(np.float32)
+    x0 = jnp.asarray(rng.randn(B, ns).astype(np.float32))
+    lb = jnp.asarray(-np.abs(rng.randn(T, B, nc)).astype(np.float32) - 0.1)
+    ub = jnp.asarray(np.abs(rng.randn(T, B, nc)).astype(np.float32) + 0.1)
+    return (jnp.asarray(C), jnp.asarray(c), jnp.asarray(F),
+            jnp.asarray(f), x0, lb, ub)
+
+
+def _compare_uxc(cfg, x0, cost, dyn, lb, ub, atol):
+    """u/x/costs parity jnp-vs-fused; mean_alpha is excluded: at float32
+    cost ties with a ~zero step the selected alpha is arbitrary (the
+    trajectories still match)."""
+    ref = batched_solve(cfg, x0, cost, dyn, u_lower=lb, u_upper=ub)
+    fus = fused_batched_solve(cfg, x0, cost, dyn, u_lower=lb, u_upper=ub,
+                              interpret=True)
+    for f in ('u', 'x', 'costs'):
+        np.testing.assert_allclose(np.asarray(getattr(ref, f)),
+                                   np.asarray(getattr(fus, f)), atol=atol)
+
+
+def test_fused_lindx_multictrl_box():
+    """n_ctrl=4 LinDx with box bounds: the in-kernel projected-Newton QP
+    (masked Cholesky + parallel Armijo) must match the jnp PNQP path."""
+    from mpc_tpu import LinDx
+    B, T, ns, nc = 16, 4, 3, 4
+    C, c, F, f, x0, lb, ub = _lindx_problem(B, T, ns, nc)
+    cfg = dataclasses.replace(_cfg(T), n_state=ns, n_ctrl=nc,
+                              lqr_iter=2, pnqp_iter=10)
+    _compare_uxc(cfg, x0, QuadCost(C, c), LinDx(F, f), lb, ub, atol=3e-4)
+
+
+def test_fused_lindx_multictrl_unconstrained_shared():
+    """n_ctrl=4 batch-shared LinDx, unconstrained: SMEM dynamics +
+    in-kernel Cholesky solve vs the jnp path."""
+    from mpc_tpu import LinDx
+    B, T, ns, nc = 16, 4, 3, 4
+    C, c, F, f, x0, _, _ = _lindx_problem(B, T, ns, nc)
+    cfg = dataclasses.replace(_cfg(T), n_state=ns, n_ctrl=nc, lqr_iter=2)
+    _compare_uxc(cfg, x0, QuadCost(C[:, 0], c[:, 0]),
+                 LinDx(F[:, 0], f[:, 0]), None, None, atol=5e-4)
+
+
 def test_supports_gates():
     T = 4
     dx, x0, C, c, lb, ub = _problem(B=8, T=T, bounded=True)
