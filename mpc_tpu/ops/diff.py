@@ -31,7 +31,8 @@ from . import lqr
 ACTIVE_TOL = 1e-8
 
 
-def make_lqr_fixed_point(n_state: int, has_bounds: bool, has_f: bool):
+def make_lqr_fixed_point(n_state: int, has_bounds: bool, has_f: bool,
+                         parallel: bool = False):
     """Build the custom-VJP fixed-point function for a given problem shape.
 
     Returns a function
@@ -73,7 +74,7 @@ def make_lqr_fixed_point(n_state: int, has_bounds: bool, has_f: bool):
         # (reference mpc/lqr_step.py:327-340)
         dx0 = jnp.zeros_like(x_star[0])
         dx, du = lqr.lqr_solve(C, -r, F, None, dx0, u_zero_I=I,
-                               n_state=n_state)
+                               n_state=n_state, parallel=parallel)
 
         dxu = jnp.concatenate([dx, du], axis=1)
         xu = jnp.concatenate([x_star, u_star], axis=1)

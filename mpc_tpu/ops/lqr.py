@@ -58,6 +58,7 @@ def _pad_time(A, T):
 def riccati_backward(
     C, c, F, u,
     n_state: int,
+    f=None,
     u_lower=None, u_upper=None,
     u_zero_I=None,
     delta_u=None,
@@ -87,14 +88,17 @@ def riccati_backward(
 
     def step(carry, inp):
         V, v, prev_kt, first, n_qp = carry
-        Ct, ct, Ft, ut, lbt, ubt, uzt = inp
+        Ct, ct, Ft, ut, lbt, ubt, uzt, ft = inp
 
         FtT = Ft.T
         Qt = Ct + FtT @ V @ Ft
         qt = ct + FtT @ v
-        # (delta-space: the affine term f is folded into c_back, so the
-        #  reference's f-dependent branch at mpc/lqr_step.py:71-74 never
-        #  fires inside LQRStep - f_back is None at mpc/lqr_step.py:296)
+        if has_f:
+            # affine-dynamics term (reference mpc/lqr_step.py:71-74);
+            # inside LQRStep this never fires (delta space folds f into
+            # c_back, f_back is None at mpc/lqr_step.py:296) but the
+            # exact solve with explicit f needs it
+            qt = qt + FtT @ (V @ ft)
 
         Qxx = Qt[:n_state, :n_state]
         Qxu = Qt[:n_state, n_state:]
@@ -156,6 +160,8 @@ def riccati_backward(
     zl = jnp.zeros((T, n_ctrl), dtype) if u_lower is None else u_lower
     zu = jnp.zeros((T, n_ctrl), dtype) if u_upper is None else u_upper
     zz = (jnp.zeros((T, n_ctrl), bool) if u_zero_I is None else u_zero_I)
+    has_f = f is not None
+    fp_ = _pad_time(f, T) if has_f else jnp.zeros((T, n_state), dtype)
 
     init = (
         jnp.zeros((n_state, n_state), dtype),
@@ -164,7 +170,7 @@ def riccati_backward(
         jnp.asarray(True),
         jnp.asarray(0, jnp.int32),
     )
-    xs = (C, c, Fp, u, zl, zu, zz)
+    xs = (C, c, Fp, u, zl, zu, zz, fp_)
     carry, (Ks, ks) = lax.scan(step, init, xs, reverse=True, unroll=unroll)
     return RiccatiOut(Ks, ks, carry[4])
 
@@ -376,8 +382,13 @@ def lqr_step_delta(
     return fwd, back.n_qp_iter
 
 
-def lqr_solve(C, c, F, f, x_init, u_zero_I=None, n_state: Optional[int] = None):
+def lqr_solve(C, c, F, f, x_init, u_zero_I=None,
+              n_state: Optional[int] = None, parallel: bool = False):
     """Exact unconstrained LQR solve, optionally with zero-clamped controls.
+
+    With ``parallel=True`` the solve runs at O(log T) depth via the
+    associative-scan formulation (ops/pscan.py) - identical results,
+    much faster for long horizons on TPU.
 
     Used by the analytic backward pass: the reference solves the
     differential KKT system by recursively instantiating a 1-iteration
@@ -389,6 +400,11 @@ def lqr_solve(C, c, F, f, x_init, u_zero_I=None, n_state: Optional[int] = None):
 
     Returns (x, u) trajectories of shape [T, n_state], [T, n_ctrl].
     """
+    if parallel:
+        from .pscan import parallel_lqr_solve
+        return parallel_lqr_solve(C, c, F, f, x_init,
+                                  u_zero_I=u_zero_I, n_state=n_state)
+
     T, n_tau = c.shape
     if n_state is None:
         n_state = F.shape[1]
@@ -396,7 +412,7 @@ def lqr_solve(C, c, F, f, x_init, u_zero_I=None, n_state: Optional[int] = None):
 
     u0 = jnp.zeros((T, n_ctrl), c.dtype)
     back = riccati_backward(
-        C, c, F, u0, n_state=n_state, u_zero_I=u_zero_I)
+        C, c, F, u0, n_state=n_state, f=f, u_zero_I=u_zero_I)
 
     Fp = _pad_time(F, T)
     fp = _pad_time(f, T) if f is not None else None

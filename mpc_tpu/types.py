@@ -108,6 +108,11 @@ class MPCConfig:
     # (bang-bang switching times flip); 'float32' forces full-precision
     # passes (SURVEY.md section 7 risk list).
     matmul_precision: str = 'float32'
+    # run the exact LQR solves (the differentiable fixed point's forward
+    # and its KKT backward) via the O(log T)-depth associative-scan
+    # Riccati (ops/pscan.py) instead of the sequential scan - identical
+    # results, much faster for long horizons.
+    parallel_riccati: bool = False
 
     def __post_init__(self):
         assert self.max_linesearch_iter > 0
