@@ -162,8 +162,49 @@ def bench_imitation(B=1024, T=10):
             'unit': f'examples/s fwd+bwd (B={B}, T={T}, f32)'}
 
 
+def bench_pod(B=16384, T=20):
+    """Config 5: pod sweep - B scenarios sharded over every available
+    device via solve_sharded (shard_map + the fused kernel per shard).
+    On a single chip this measures the large-batch headline; on a pod
+    slice the same code path shards over ICI with zero collectives."""
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu import MPCConfig, QuadCost, GradMethods
+    from mpc_tpu.models import PendulumDx
+    from mpc_tpu.parallel import make_mesh, solve_sharded
+
+    dtype = jnp.float32
+    dx = PendulumDx()
+    rng = np.random.RandomState(4)
+    q, p = dx.get_true_obj()
+    C = jnp.diag(q).astype(dtype)
+    c = jnp.asarray(p, dtype)
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=10,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=5)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    B = (B // n_dev) * n_dev
+
+    def fn(x0):
+        return solve_sharded(cfg, mesh, x0, QuadCost(C, c), dx,
+                             u_lower=-2.0, u_upper=2.0).u
+
+    def x0s():
+        th = np.pi * (2 * rng.rand(B) - 1)
+        return (jnp.asarray(np.stack(
+            [np.cos(th), np.sin(th), np.zeros(B)], 1), dtype),)
+    dt = _time(fn, [x0s() for _ in range(14)])
+    return {'metric': 'pod_sweep_solves_per_sec',
+            'value': round(B / dt, 1),
+            'unit': f'solves/s (B={B}, T={T}, {n_dev} device(s), '
+                    f'shard_map)'}
+
+
 def run_all_secondary():
-    for fn in [bench_tvlqr, bench_cartpole, bench_imitation]:
+    for fn in [bench_tvlqr, bench_cartpole, bench_imitation, bench_pod]:
         print(json.dumps(fn()))
 
 

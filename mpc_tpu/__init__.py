@@ -18,11 +18,12 @@ from .types import GradMethods, LinDx, MPCConfig, QuadCost, Solution
 from .mpc import MPC
 from .solver import (linearize_dynamics, quadratize_cost, rollout,
                      solve_single, trajectory_cost)
+from .learning import batched_solve
 
 __version__ = '0.1.0'
 
 __all__ = [
     'MPC', 'QuadCost', 'LinDx', 'GradMethods', 'MPCConfig', 'Solution',
-    'solve_single', 'rollout', 'trajectory_cost',
+    'solve_single', 'batched_solve', 'rollout', 'trajectory_cost',
     'linearize_dynamics', 'quadratize_cost',
 ]

@@ -54,6 +54,9 @@ def shard_batch(tree, mesh: Mesh, batch_axis_by_rank=None,
         lambda a: jax.device_put(jnp.asarray(a), spec_for(a)), tree)
 
 
+_SHARDED_CACHE = {}
+
+
 def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
                   u_init=None, u_lower=None, u_upper=None,
                   axis_name: str = 'batch') -> Solution:
@@ -66,6 +69,10 @@ def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
     solver - including the fused Pallas kernel when in scope - on its
     shard: embarrassingly parallel, zero collectives (SURVEY.md
     section 2.3 and BASELINE north star).
+
+    The jitted sharded program is cached on (cfg, mesh, problem
+    structure), so receding-horizon loops that call this repeatedly
+    reuse the compiled executable.
     """
     from ..learning import batched_solve
 
@@ -74,9 +81,10 @@ def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
     assert n_batch % n_dev == 0, (
         f'batch {n_batch} must divide evenly over {n_dev} devices')
 
-    # positional array operands with their batch axis; everything else
-    # (callables, batch-shared arrays, scalars) is closed over and
-    # replicated
+    # Every array leaf is a positional operand: batch-axis arrays get
+    # sharded specs, batch-shared arrays/scalars replicate.  Only
+    # callables (and None) are closed over, so the cache never freezes
+    # stale data.
     operands = [jnp.asarray(x_init)]
     specs = [P(axis_name)]
     slots = {}
@@ -86,35 +94,54 @@ def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
         slots[name] = len(operands)
         operands.append(a)
         parts = [None] * a.ndim
-        parts[batch_axis] = axis_name
+        if batch_axis is not None:
+            parts[batch_axis] = axis_name
         specs.append(P(*parts))
 
-    if isinstance(cost, QuadCost) and jnp.ndim(cost.C) == 4:
-        add('C', cost.C, 1)
-        add('c', cost.c, 1)
-    if isinstance(dynamics, LinDx):
-        add('F', dynamics.F, 1)
+    def batch_ax(a, batched_ndim):
+        return 1 if jnp.ndim(a) == batched_ndim else None
+
+    is_qc = isinstance(cost, QuadCost)
+    is_lin = isinstance(dynamics, LinDx)
+    if is_qc:
+        add('C', cost.C, batch_ax(cost.C, 4))
+        add('c', cost.c, batch_ax(cost.c, 3))
+    if is_lin:
+        add('F', dynamics.F, batch_ax(dynamics.F, 4))
         if dynamics.f is not None:
-            add('f', dynamics.f, 1)
-    if u_init is not None and jnp.ndim(u_init) == 3:
-        add('u_init', u_init, 1)
-    if u_lower is not None and jnp.ndim(u_lower) == 3:
-        add('lb', u_lower, 1)
-        add('ub', u_upper, 1)
+            add('f', dynamics.f, batch_ax(dynamics.f, 3))
+    if u_init is not None:
+        add('u_init', u_init, batch_ax(u_init, 3))
+    # python-number bounds become static closure constants (no per-call
+    # host->device transfer - through a tunneled runtime each tiny
+    # transfer costs ~ms); array bounds are operands
+    static_bounds = (u_lower is not None
+                     and isinstance(u_lower, (int, float))
+                     and isinstance(u_upper, (int, float)))
+    if u_lower is not None and not static_bounds:
+        add('lb', u_lower, batch_ax(u_lower, 3))
+        add('ub', u_upper, batch_ax(u_upper, 3))
+
+    cost_key = None if is_qc else id(cost)
+    dyn_key = None if is_lin else id(dynamics)
+    bounds_key = (float(u_lower), float(u_upper)) if static_bounds else None
+    key = (cfg, mesh, axis_name, tuple(sorted(slots)), cost_key, dyn_key,
+           bounds_key)
+    if key in _SHARDED_CACHE:
+        return _SHARDED_CACHE[key][0](*operands)
 
     def local(*arrs):
-        def pick(name, default):
-            return arrs[slots[name]] if name in slots else default
+        def pick(name):
+            return arrs[slots[name]] if name in slots else None
 
-        cost_l = (QuadCost(pick('C', cost.C), pick('c', cost.c))
-                  if isinstance(cost, QuadCost) else cost)
-        dyn_l = (LinDx(pick('F', dynamics.F),
-                       pick('f', dynamics.f))
-                 if isinstance(dynamics, LinDx) else dynamics)
+        cost_l = QuadCost(pick('C'), pick('c')) if is_qc else cost
+        dyn_l = LinDx(pick('F'), pick('f')) if is_lin else dynamics
+        lb_l = u_lower if static_bounds else pick('lb')
+        ub_l = u_upper if static_bounds else pick('ub')
         return batched_solve(
             cfg, arrs[0], cost_l, dyn_l,
-            u_init=pick('u_init', u_init),
-            u_lower=pick('lb', u_lower), u_upper=pick('ub', u_upper))
+            u_init=pick('u_init'),
+            u_lower=lb_l, u_upper=ub_l)
 
     out_specs = Solution(
         x=P(None, axis_name), u=P(None, axis_name),
@@ -127,4 +154,6 @@ def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=tuple(specs), out_specs=out_specs,
         check_vma=False))
+    # keep cost/dynamics referenced so their ids stay valid for the key
+    _SHARDED_CACHE[key] = (fn, cost, dynamics)
     return fn(*operands)
