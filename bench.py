@@ -44,7 +44,7 @@ def _pendulum_inputs(B, T, dtype):
     return dx, x0, C, c, lb, ub
 
 
-def bench_pendulum(B=4096, T=20, iters=30, warmup=2):
+def bench_pendulum(B=4096, T=20, iters=60, warmup=2):
     import jax
     import jax.numpy as jnp
     from mpc_tpu import MPCConfig, QuadCost, GradMethods
@@ -82,7 +82,7 @@ def bench_pendulum(B=4096, T=20, iters=30, warmup=2):
     # blocking would charge the ~30ms tunnel round-trip to every batch);
     # best-of-3 chunks to shed tunnel jitter
     rest = x0s[warmup:]
-    n_chunk = max(1, len(rest) // 3)
+    n_chunk = max(1, len(rest) // 6)
     dt = float('inf')
     for r in range(0, len(rest) - n_chunk + 1, n_chunk):
         chunk = rest[r:r + n_chunk]
@@ -164,7 +164,7 @@ def _baseline_value(remeasure=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=4096)
-    ap.add_argument('--iters', type=int, default=30)
+    ap.add_argument('--iters', type=int, default=60)
     ap.add_argument('--remeasure-baseline', action='store_true')
     ap.add_argument('--all', action='store_true',
                     help='also run the secondary BASELINE configs')

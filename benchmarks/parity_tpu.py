@@ -141,8 +141,54 @@ def check_shard_map(B=2048, T=20):
     assert d == 0.0
 
 
+
+
+
+def check_sysid_gradients(B=128, T=8):
+    """Check [4]: learning DYNAMICS parameters by differentiating through
+    the solver - fused phase 1 + vmapped KKT fixed point vs the pure jnp
+    path (the physics params ride the kernel's SMEM input, so they stay
+    traceable)."""
+    import dataclasses
+
+    dx_true = PendulumDx()
+    rng = np.random.RandomState(9)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1),
+                     jnp.float32)
+    q, p = dx_true.get_true_obj()
+    C = jnp.diag(q).astype(jnp.float32)
+    c = jnp.asarray(p, jnp.float32)
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=3,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    linesearch_decay=0.2, max_linesearch_iter=3)
+    sol_t = batched_solve(
+        dataclasses.replace(cfg, backprop=False), x0, QuadCost(C, c),
+        dx_true, u_lower=-2.0, u_upper=2.0)
+    u_expert = jax.lax.stop_gradient(sol_t.u)
+
+    def make_loss(cfg_):
+        def loss(params):
+            dx = PendulumDx(params=params)
+            sol = batched_solve(cfg_, x0, QuadCost(C, c), dx,
+                                u_lower=-2.0, u_upper=2.0)
+            return jnp.mean((sol.u - u_expert) ** 2)
+        return jax.jit(jax.value_and_grad(loss))
+
+    p0 = jnp.array([9.0, 1.1, 0.95], jnp.float32)   # perturbed physics
+    v1, g1 = make_loss(cfg)(p0)
+    v2, g2 = make_loss(dataclasses.replace(cfg, use_fused='never'))(p0)
+    d = np.max(np.abs(np.asarray(g1) - np.asarray(g2)) /
+               (np.abs(np.asarray(g2)) + 1e-6))
+    print(f'[4] sysid grads (d loss/d physics) fused vs jnp: '
+          f'loss {float(v1):.5f}/{float(v2):.5f} max rel diff {d:.3e}')
+    assert np.isfinite(float(v1)) and d < 1e-2
+
+
 if __name__ == '__main__':
     check_vs_reference()
     check_multictrl_box()
     check_shard_map()
+    check_sysid_gradients()
     print('ALL TPU PARITY CHECKS PASS')

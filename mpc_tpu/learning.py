@@ -37,6 +37,21 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
     """
     from .types import LinDx, QuadCost
 
+    # batch-shared (unbatched) cost/LinDx arrays and scalar bounds map
+    # with in_axes=None instead of being broadcast
+    def _cost_axes(cst):
+        if not isinstance(cst, QuadCost):
+            return None
+        return QuadCost(1 if jnp.ndim(cst.C) == 4 else None,
+                        1 if jnp.ndim(cst.c) == 3 else None)
+
+    def _dyn_axes(dyn):
+        if not isinstance(dyn, LinDx):
+            return None
+        return LinDx(1 if jnp.ndim(dyn.F) == 4 else None,
+                     (1 if jnp.ndim(dyn.f) == 3 else None)
+                     if dyn.f is not None else None)
+
     if cfg.use_fused != 'never':
         import dataclasses
 
@@ -82,35 +97,26 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
                 lb2 = jnp.full((cfg.T, cfg.n_ctrl), lb2, dtype)
                 ub2 = jnp.full((cfg.T, cfg.n_ctrl), ub2, dtype)
 
-            def ph2(x0, cost_i, bx, bu, lb_i, ub_i, conv):
-                return fixed_point_phase(cfg, x0, cost_i, dynamics,
+            def ph2(x0, cost_i, dyn_i, bx, bu, lb_i, ub_i, conv):
+                return fixed_point_phase(cfg, x0, cost_i, dyn_i,
                                          sg(bx), sg(bu), lb_i, ub_i, conv)
-
-            def _ax(cst):
-                if not isinstance(cst, QuadCost):
-                    return None
-                return QuadCost(1 if jnp.ndim(cst.C) == 4 else None,
-                                1 if jnp.ndim(cst.c) == 3 else None)
 
             b_ax = ((1 if jnp.ndim(lb2) == 3 else None)
                     if lb2 is not None else None)
-            x, u = jax.vmap(
-                ph2, in_axes=(0, _ax(cost), 1, 1, b_ax, b_ax, 0),
-                out_axes=(1, 1))(
-                x_init, cost, sol1.x, sol1.u, lb2, ub2, sol1.converged)
+            # phase 2 must run at the configured matmul precision too:
+            # its KKT backward otherwise executes at TPU's bf16 default
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                x, u = jax.vmap(
+                    ph2, in_axes=(0, _cost_axes(cost), _dyn_axes(dynamics),
+                                  1, 1, b_ax, b_ax, 0),
+                    out_axes=(1, 1))(
+                    x_init, cost, dynamics, sol1.x, sol1.u, lb2, ub2,
+                    sol1.converged)
             return sol1._replace(x=x, u=u)
 
     def one(x0, cost_i, dyn_i, u0, lb, ub):
         return solve_single(cfg, x0, cost_i, dyn_i, u_init=u0,
                             u_lower=lb, u_upper=ub)
-
-    # batch-shared (unbatched) cost arrays and scalar bounds are allowed:
-    # they map with in_axes=None instead of being broadcast
-    def _cost_axes(cst):
-        if not isinstance(cst, QuadCost):
-            return None
-        return QuadCost(1 if jnp.ndim(cst.C) == 4 else None,
-                        1 if jnp.ndim(cst.c) == 3 else None)
 
     if u_lower is not None and jnp.ndim(u_lower) == 0:
         dt = jnp.asarray(x_init).dtype
@@ -119,10 +125,7 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
     in_axes = (
         0,
         _cost_axes(cost),
-        LinDx(1 if jnp.ndim(dynamics.F) == 4 else None,
-              (1 if jnp.ndim(dynamics.f) == 3 else None)
-              if dynamics.f is not None else None)
-        if isinstance(dynamics, (LinDx,)) else None,
+        _dyn_axes(dynamics),
         (1 if jnp.ndim(u_init) == 3 else None) if u_init is not None
         else None,
         (1 if jnp.ndim(u_lower) == 3 else None) if u_lower is not None

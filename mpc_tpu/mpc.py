@@ -235,17 +235,36 @@ class MPC:
                                   jnp.asarray(cost.c, dtype))
             else:
                 cost_f = cost_b
+            if isinstance(dx, LinDx):
+                # pre-broadcast dynamics (with the same trailing-slice
+                # trim as the normalization above) keep batch-shared F/f
+                # on the kernel's SMEM path
+                F_f = jnp.asarray(dx.F, dtype)
+                f_f = (jnp.asarray(dx.f, dtype)
+                       if dx.f is not None else None)
+                if F_f.shape[0] == T:
+                    F_f = F_f[:T - 1]
+                if f_f is not None and f_f.shape[0] == T:
+                    f_f = f_f[:T - 1]
+                dx_f = LinDx(F_f, f_f)
+            else:
+                dx_f = dx_b
             scalar_bounds = (self.u_lower is not None
                              and jnp.ndim(self.u_lower) == 0
                              and jnp.ndim(self.u_upper) == 0)
             lb_f = jnp.asarray(self.u_lower, dtype) if scalar_bounds else lb
             ub_f = jnp.asarray(self.u_upper, dtype) if scalar_bounds else ub
-            if (fused.supports(cfg, cost_f, dx_b, u_zero_I=uz,
-                               prev_ctrl=pc, dtype=dtype)
-                    and (cfg.use_fused == 'always'
-                         or jax.default_backend() == 'tpu')):
-                key = ('fused', cfg, type(dx_b), u_init is not None,
-                       lb is not None, jnp.ndim(cost_f.C), scalar_bounds)
+            in_scope = fused.supports(cfg, cost_f, dx_f, u_zero_I=uz,
+                                      prev_ctrl=pc, dtype=dtype)
+            if cfg.use_fused == 'always' and not in_scope:
+                raise ValueError(
+                    'use_fused="always" but the problem is outside the '
+                    'fused-kernel scope (see ops/fused.py:supports)')
+            if in_scope and (cfg.use_fused == 'always'
+                             or jax.default_backend() == 'tpu'):
+                key = ('fused', cfg, type(dx_f), u_init is not None,
+                       lb is not None, jnp.ndim(cost_f.C), scalar_bounds,
+                       jnp.ndim(dx_f.F) if isinstance(dx_f, LinDx) else None)
                 if key not in _SOLVER_CACHE:
                     fn = jax.jit(
                         lambda x0, C, c, dyn, u0, lbi, ubi:
@@ -254,7 +273,7 @@ class MPC:
                             u_lower=lbi, u_upper=ubi))
                     _SOLVER_CACHE[key] = (fn, None, None)
                 return _SOLVER_CACHE[key][0](
-                    x_init, cost_f.C, cost_f.c, dx_b, u_init, lb_f, ub_f)
+                    x_init, cost_f.C, cost_f.c, dx_f, u_init, lb_f, ub_f)
 
         fn = self._get_solver(cfg, cost_b, dx_b, u_init is not None,
                               lb is not None, uz is not None,

@@ -86,23 +86,7 @@ def _solve_small(M, B):
     m = B.shape[-1]
     A = [[M[..., i, j] for j in range(n)] for i in range(n)]
     R = [[B[..., i, j] for j in range(m)] for i in range(n)]
-    for k in range(n):
-        inv = 1.0 / A[k][k]
-        for i in range(k + 1, n):
-            fac = A[i][k] * inv
-            for j in range(k + 1, n):
-                A[i][j] = A[i][j] - fac * A[k][j]
-            for j in range(m):
-                R[i][j] = R[i][j] - fac * R[k][j]
-    X = [[None] * m for _ in range(n)]
-    for i in range(n - 1, -1, -1):
-        inv = 1.0 / A[i][i]
-        for j in range(m):
-            s = R[i][j]
-            for jj in range(i + 1, n):
-                s = s - A[i][jj] * X[jj][j]
-            X[i][j] = s * inv
-    return jnp.stack([jnp.stack(r, axis=-1) for r in X], axis=-2)
+    return _restack(_lsolve(A, R))
 
 
 def _solve_small_vec(M, b):
@@ -321,10 +305,9 @@ def parallel_lqr_solve(C, c, F, f, x_init, u_zero_I=None, n_state=None):
     # per-step gains from V_{t+1} (all steps independently)
     P = J[1:]                                  # [T-1, ns, ns]
     p = -eta[1:]
+    # (with u_zero masks the clamped diagonal stays at identity: the
+    #  masked B columns make B^T P B zero there)
     H = Cuu[:-1] + jnp.swapaxes(B_dyn, -1, -2) @ P @ B_dyn
-    if free is not None:
-        # keep the clamped diagonal at identity after adding B^T P B = 0
-        pass
     G = jnp.swapaxes(Cxu[:-1], -1, -2) + \
         jnp.swapaxes(B_dyn, -1, -2) @ P @ A_dyn
     r = cu[:-1] + jnp.einsum('tji,tj->ti', B_dyn,

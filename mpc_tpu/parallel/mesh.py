@@ -125,8 +125,11 @@ def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
     cost_key = None if is_qc else id(cost)
     dyn_key = None if is_lin else id(dynamics)
     bounds_key = (float(u_lower), float(u_upper)) if static_bounds else None
-    key = (cfg, mesh, axis_name, tuple(sorted(slots)), cost_key, dyn_key,
-           bounds_key)
+    # include each operand's rank: the in_specs depend on whether an
+    # operand is batched or batch-shared, so layouts must not collide
+    shape_key = tuple((name, operands[i].ndim)
+                      for name, i in sorted(slots.items()))
+    key = (cfg, mesh, axis_name, shape_key, cost_key, dyn_key, bounds_key)
     if key in _SHARDED_CACHE:
         return _SHARDED_CACHE[key][0](*operands)
 
