@@ -44,7 +44,7 @@ def _pendulum_inputs(B, T, dtype):
     return dx, x0, C, c, lb, ub
 
 
-def bench_pendulum(B=4096, T=20, iters=60, warmup=2):
+def bench_pendulum(B=4096, T=20, iters=120, warmup=2):
     import jax
     import jax.numpy as jnp
     from mpc_tpu import MPCConfig, QuadCost, GradMethods
@@ -78,18 +78,15 @@ def bench_pendulum(B=4096, T=20, iters=60, warmup=2):
 
     for k in range(warmup):
         jax.block_until_ready(fn(x0s[k]))
-    # async-pipelined: submit a chunk of batches, sync once (per-call
-    # blocking would charge the ~30ms tunnel round-trip to every batch);
-    # best-of-3 chunks to shed tunnel jitter
+    # one large async-pipelined chunk with a single final sync: the
+    # tunnel round-trip (tens of ms, drifting) is paid once and
+    # amortized over all iters, so the estimate is a slight
+    # UNDER-estimate of throughput - stable and conservative
     rest = x0s[warmup:]
-    n_chunk = max(1, len(rest) // 6)
-    dt = float('inf')
-    for r in range(0, len(rest) - n_chunk + 1, n_chunk):
-        chunk = rest[r:r + n_chunk]
-        t0 = time.perf_counter()
-        outs = [fn(x) for x in chunk]
-        jax.block_until_ready(outs)
-        dt = min(dt, (time.perf_counter() - t0) / len(chunk))
+    t0 = time.perf_counter()
+    outs = [fn(x) for x in rest]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / len(rest)
     return B / dt, dt
 
 
@@ -164,7 +161,7 @@ def _baseline_value(remeasure=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=4096)
-    ap.add_argument('--iters', type=int, default=60)
+    ap.add_argument('--iters', type=int, default=120)
     ap.add_argument('--remeasure-baseline', action='store_true')
     ap.add_argument('--all', action='store_true',
                     help='also run the secondary BASELINE configs')

@@ -24,18 +24,15 @@ def _time(fn, args_list, iters=None, warmup=2):
     # batch); best-of-3 chunks to shed tunnel jitter.  Every call gets
     # DISTINCT inputs: the remote layer dedupes identical executions.
     rest = args_list[warmup:]
-    n_chunk = max(1, len(rest) // 3)
-    best = float('inf')
-    for r in range(0, len(rest) - n_chunk + 1, n_chunk):
-        chunk = rest[r:r + n_chunk]
-        t0 = time.perf_counter()
-        outs = [fn(*a) for a in chunk]
-        jax.block_until_ready(outs)
-        best = min(best, (time.perf_counter() - t0) / len(chunk))
-    return best
+    # one large async-pipelined chunk, single final sync: the tunnel
+    # round-trip is amortized over all iters (slight conservative bias)
+    t0 = time.perf_counter()
+    outs = [fn(*a) for a in rest]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / len(rest)
 
 
-def _perturb(rng, arrays, index=0, scale=1e-3, n=34):
+def _perturb(rng, arrays, index=0, scale=1e-3, n=66):
     """Produce n distinct argument tuples by perturbing one array."""
     import jax.numpy as jnp
     outs = []

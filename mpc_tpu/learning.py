@@ -61,7 +61,8 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
         dtype = jnp.asarray(x_init).dtype
         on_tpu = jax.default_backend() == 'tpu'
         cfg1 = dataclasses.replace(cfg, backprop=False)
-        in_scope = fused.supports(cfg1, cost, dynamics, dtype=dtype)
+        in_scope = fused.supports(cfg1, cost, dynamics,
+                                  u_lower=u_lower, dtype=dtype)
         use = in_scope and (on_tpu or cfg.use_fused == 'always')
         if cfg.use_fused == 'always' and not in_scope:
             raise ValueError('use_fused="always" but the problem is '

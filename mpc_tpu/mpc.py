@@ -255,7 +255,8 @@ class MPC:
             lb_f = jnp.asarray(self.u_lower, dtype) if scalar_bounds else lb
             ub_f = jnp.asarray(self.u_upper, dtype) if scalar_bounds else ub
             in_scope = fused.supports(cfg, cost_f, dx_f, u_zero_I=uz,
-                                      prev_ctrl=pc, dtype=dtype)
+                                      prev_ctrl=pc, u_lower=lb_f,
+                                      dtype=dtype)
             if cfg.use_fused == 'always' and not in_scope:
                 raise ValueError(
                     'use_fused="always" but the problem is outside the '

@@ -22,8 +22,9 @@ lanes:
 Scope (dispatch falls back to the jnp path otherwise - see
 ``supports``): quadratic cost; dynamics either in structure-of-arrays
 form (``soa_step``/``soa_params`` on the model, Jacobians extracted
-in-kernel with ``jax.linearize``) or ``LinDx``; float32; no
-slew/u_zero_I/delta_u.  The box-constrained control solve is the
+in-kernel with ``jax.linearize``) or ``LinDx``; float32; horizons up to
+128 (unrolled in-kernel); delta_u trust regions supported; no
+slew/u_zero_I.  The box-constrained control solve is the
 closed-form 1-D QP for n_ctrl == 1 (ops/pnqp.py:pnqp_1d) and an
 in-kernel projected-Newton QP with masked unrolled Cholesky solves for
 n_ctrl > 1 (same semantics as ops/pnqp.py: clamped-start, active-set
@@ -70,7 +71,7 @@ def _is_soa(dynamics):
 
 
 def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
-             dtype=jnp.float32) -> bool:
+             u_lower=None, dtype=jnp.float32) -> bool:
     """Static dispatch check for the fused path."""
     if isinstance(dynamics, LinDx):
         dyn_ok = getattr(dynamics.F, 'ndim', 0) in (3, 4) and (
@@ -81,7 +82,8 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
         dyn_ok = _is_soa(dynamics)
     return (
         cfg.slew_rate_penalty is None
-        and cfg.delta_u is None
+        # delta_u requires bounds, like the reference (mpc/lqr_step.py:195)
+        and (cfg.delta_u is None or u_lower is not None)
         and u_zero_I is None
         and prev_ctrl is None
         and not cfg.backprop
@@ -94,6 +96,9 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
             (getattr(cost.c, 'ndim', 0) == 3)
         and dyn_ok
         and dtype == jnp.float32
+        # the horizon is unrolled inside the kernel; very long horizons
+        # would explode Mosaic compile time (jnp path handles them)
+        and cfg.T <= 128
     )
 
 
@@ -255,7 +260,8 @@ def _pnqp_kernel(H, q, lo, hi, x0, n, n_iter):
 def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                  has_f, lqr_iter, pnqp_iter, eps, best_cost_eps,
                  not_improved_lim, linesearch_decay, max_linesearch_iter,
-                 cost_smem=False, bounds_smem=False, dyn_smem=False):
+                 delta_u=None, cost_smem=False, bounds_smem=False,
+                 dyn_smem=False):
     ntau = ns + nc
     alphas = [linesearch_decay ** k for k in range(max_linesearch_iter)]
 
@@ -448,6 +454,11 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                 else:
                     lo = [lb[t][j] - u[t][j] for j in range(nc)]
                     hi = [ub[t][j] - u[t][j] for j in range(nc)]
+                    if delta_u is not None:
+                        # trust region on the delta controls
+                        # (reference mpc/lqr_step.py:132-134)
+                        lo = [jnp.maximum(v, -delta_u) for v in lo]
+                        hi = [jnp.minimum(v, delta_u) for v in hi]
                     if nc == 1:
                         # closed-form 1-D box QP (ops/pnqp.py:pnqp_1d)
                         Quu_s = Quu[0][0]
@@ -532,7 +543,14 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                         v = (sum(K[t][m][j] * dxt[j] for j in range(ns))
                              + u[t][m] + a * k[t][m])
                         if has_bounds:
-                            v = jnp.clip(v, lb[t][m], ub[t][m])
+                            lo_f, hi_f = lb[t][m], ub[t][m]
+                            if delta_u is not None:
+                                # trust region around the nominal control,
+                                # intersected with the box (reference
+                                # mpc/lqr_step.py:204-211)
+                                lo_f = jnp.maximum(u[t][m] - delta_u, lo_f)
+                                hi_f = jnp.minimum(u[t][m] + delta_u, hi_f)
+                            v = jnp.clip(v, lo_f, hi_f)
                         ut.append(v)
                     nu.append(ut)
                     cost_a = cost_a + _quad_lin_cost(C[t], c[t],
@@ -745,6 +763,7 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         not_improved_lim=float(cfg.not_improved_lim),
         linesearch_decay=float(cfg.linesearch_decay),
         max_linesearch_iter=int(cfg.max_linesearch_iter),
+        delta_u=(float(cfg.delta_u) if cfg.delta_u is not None else None),
         cost_smem=cost_smem, bounds_smem=bounds_smem, dyn_smem=dyn_smem)
 
     g5 = lambda g: (0, 0, g, 0, 0)

@@ -147,6 +147,16 @@ def test_fused_lindx_multictrl_unconstrained_shared():
                  LinDx(F[:, 0], f[:, 0]), None, None, atol=5e-4)
 
 
+def test_fused_delta_u():
+    """delta_u trust region in-kernel must match the jnp path, and the
+    accepted controls must respect |u_{k+1} - u_k| <= delta_u per
+    iteration (reference tests/test_mpc.py:197-240 semantics)."""
+    T = 5
+    dx, x0, C, c, lb, ub = _problem(B=16, T=T, bounded=True)
+    cfg = dataclasses.replace(_cfg(T), delta_u=0.3)
+    _compare(cfg, dx, x0, C, c, lb, ub)
+
+
 def test_supports_gates():
     T = 4
     dx, x0, C, c, lb, ub = _problem(B=8, T=T, bounded=True)
