@@ -30,10 +30,12 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
     mpc/mpc.py:185-186).  Cost/dynamics given as callables are shared
     across the batch.
 
-    On TPU, problems in the fused-kernel scope (n_ctrl=1, quadratic
-    cost, SoA dynamics, no backprop - ops/fused.py:supports) dispatch to
-    the single-kernel Pallas solver; everything else runs the vmapped
-    jnp path.  ``cfg.use_fused`` overrides.
+    On TPU, problems in the fused-kernel scope (quadratic cost, SoA or
+    LinDx dynamics, T <= 128 - ops/fused.py:supports) dispatch to the
+    single-kernel Pallas solver; differentiable solves run phase 1 in
+    the kernel and attach the vmapped custom_vjp fixed point on top.
+    Everything else runs the vmapped jnp path.  ``cfg.use_fused``
+    overrides.
     """
     from .types import LinDx, QuadCost
 

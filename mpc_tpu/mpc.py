@@ -8,8 +8,8 @@ class is a thin stateless wrapper: it normalizes/broadcasts shapes
 ``vmap`` of the functional per-instance solver in ``solver.py``.
 
 For fully-jittable pipelines (training loops, pjit sharding) use
-``mpc_tpu.solver.solve_single`` / ``MPC.solve_fn`` directly - the class
-``__call__`` performs a host-side convergence check when
+``mpc_tpu.batched_solve`` or ``mpc_tpu.solver.solve_single`` directly -
+the class ``__call__`` performs a host-side convergence check when
 ``exit_unconverged`` is set (the reference asserts there,
 mpc/mpc.py:321-324), which forces a device sync.
 """
