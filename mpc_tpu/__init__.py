@@ -15,7 +15,7 @@ Public surface:
 """
 
 from .types import GradMethods, LinDx, MPCConfig, QuadCost, Solution
-from .mpc import MPC
+from .mpc import MPC, SlewRateCost
 from .solver import (linearize_dynamics, quadratize_cost, rollout,
                      solve_single, trajectory_cost)
 from .learning import batched_solve
@@ -23,7 +23,8 @@ from .learning import batched_solve
 __version__ = '0.1.0'
 
 __all__ = [
-    'MPC', 'QuadCost', 'LinDx', 'GradMethods', 'MPCConfig', 'Solution',
+    'MPC', 'SlewRateCost', 'QuadCost', 'LinDx', 'GradMethods',
+    'MPCConfig', 'Solution',
     'solve_single', 'batched_solve', 'rollout', 'trajectory_cost',
     'linearize_dynamics', 'quadratize_cost',
 ]

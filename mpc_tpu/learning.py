@@ -22,16 +22,22 @@ from .types import MPCConfig, Solution
 
 
 def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
-                  u_init=None, u_lower=None, u_upper=None) -> Solution:
+                  u_init=None, u_lower=None, u_upper=None,
+                  u_zero_I=None, prev_ctrl=None) -> Solution:
     """vmap the per-instance solver over a scenario batch.
 
-    ``x_init`` is batch-major [B, n_state]; QuadCost/LinDx/bounds/u_init
-    arrays are time-major [T, B, ...] (the reference layout,
-    mpc/mpc.py:185-186).  Cost/dynamics given as callables are shared
-    across the batch.
+    This is THE batched dispatch path: the ``MPC`` class delegates here
+    after normalizing shapes, so both entry points always pick the same
+    (fused-kernel or jnp) execution path.
+
+    ``x_init`` is batch-major [B, n_state]; QuadCost/LinDx/bounds/u_init/
+    u_zero_I arrays are time-major [T, B, ...] (the reference layout,
+    mpc/mpc.py:185-186) or batch-shared with the batch axis dropped;
+    ``prev_ctrl`` is [B, n_ctrl] or [n_ctrl].  Cost/dynamics given as
+    callables are shared across the batch.
 
     On TPU, problems in the fused-kernel scope (quadratic cost, SoA or
-    LinDx dynamics, T <= 128 - ops/fused.py:supports) dispatch to the
+    LinDx dynamics - ops/fused.py:supports) dispatch to the
     single-kernel Pallas solver; differentiable solves run phase 1 in
     the kernel and attach the vmapped custom_vjp fixed point on top.
     Everything else runs the vmapped jnp path.  ``cfg.use_fused``
@@ -64,6 +70,7 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
         on_tpu = jax.default_backend() == 'tpu'
         cfg1 = dataclasses.replace(cfg, backprop=False)
         in_scope = fused.supports(cfg1, cost, dynamics,
+                                  u_zero_I=u_zero_I, prev_ctrl=prev_ctrl,
                                   u_lower=u_lower, dtype=dtype)
         use = in_scope and (on_tpu or cfg.use_fused == 'always')
         if cfg.use_fused == 'always' and not in_scope:
@@ -79,7 +86,8 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
             if not cfg.backprop:
                 return fused.fused_batched_solve(
                     cfg, x_init, cost, dynamics, u_init=u_init_f,
-                    u_lower=u_lower, u_upper=u_upper)
+                    u_lower=u_lower, u_upper=u_upper,
+                    u_zero_I=u_zero_I, prev_ctrl=prev_ctrl)
             # differentiable solve: phase 1 (the iterations) through the
             # kernel with gradients stopped - exactly the reference's
             # detached outer loop (mpc/mpc.py:249-262) - then the
@@ -93,33 +101,38 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
             sol1 = fused.fused_batched_solve(
                 cfg1, sg(x_init), sgt(cost), sgt(dynamics),
                 u_init=sg(u_init_f) if u_init_f is not None else None,
-                u_lower=sgt(u_lower), u_upper=sgt(u_upper))
+                u_lower=sgt(u_lower), u_upper=sgt(u_upper),
+                u_zero_I=sgt(u_zero_I), prev_ctrl=sgt(prev_ctrl))
 
             lb2, ub2 = u_lower, u_upper
             if lb2 is not None and jnp.ndim(lb2) == 0:
                 lb2 = jnp.full((cfg.T, cfg.n_ctrl), lb2, dtype)
                 ub2 = jnp.full((cfg.T, cfg.n_ctrl), ub2, dtype)
 
-            def ph2(x0, cost_i, dyn_i, bx, bu, lb_i, ub_i, conv):
+            def ph2(x0, cost_i, dyn_i, bx, bu, lb_i, ub_i, conv, pc_i):
                 return fixed_point_phase(cfg, x0, cost_i, dyn_i,
-                                         sg(bx), sg(bu), lb_i, ub_i, conv)
+                                         sg(bx), sg(bu), lb_i, ub_i, conv,
+                                         prev_ctrl=pc_i)
 
             b_ax = ((1 if jnp.ndim(lb2) == 3 else None)
                     if lb2 is not None else None)
+            pc_ax = ((0 if jnp.ndim(prev_ctrl) == 2 else None)
+                     if prev_ctrl is not None else None)
             # phase 2 must run at the configured matmul precision too:
             # its KKT backward otherwise executes at TPU's bf16 default
             with jax.default_matmul_precision(cfg.matmul_precision):
                 x, u = jax.vmap(
                     ph2, in_axes=(0, _cost_axes(cost), _dyn_axes(dynamics),
-                                  1, 1, b_ax, b_ax, 0),
+                                  1, 1, b_ax, b_ax, 0, pc_ax),
                     out_axes=(1, 1))(
                     x_init, cost, dynamics, sol1.x, sol1.u, lb2, ub2,
-                    sol1.converged)
+                    sol1.converged, prev_ctrl)
             return sol1._replace(x=x, u=u)
 
-    def one(x0, cost_i, dyn_i, u0, lb, ub):
+    def one(x0, cost_i, dyn_i, u0, lb, ub, uz, pc):
         return solve_single(cfg, x0, cost_i, dyn_i, u_init=u0,
-                            u_lower=lb, u_upper=ub)
+                            u_lower=lb, u_upper=ub, u_zero_I=uz,
+                            prev_ctrl=pc)
 
     if u_lower is not None and jnp.ndim(u_lower) == 0:
         dt = jnp.asarray(x_init).dtype
@@ -135,11 +148,16 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
         else None,
         (1 if jnp.ndim(u_upper) == 3 else None) if u_upper is not None
         else None,
+        (1 if jnp.ndim(u_zero_I) == 3 else None) if u_zero_I is not None
+        else None,
+        (0 if jnp.ndim(prev_ctrl) == 2 else None) if prev_ctrl is not None
+        else None,
     )
     out_axes = Solution(x=1, u=1, costs=0, full_du_norm=0, n_iter=0,
-                        n_qp_iter=0, converged=0, mean_alpha=0)
+                        n_qp_iter=0, converged=0, alpha=0)
     return jax.vmap(one, in_axes=in_axes, out_axes=out_axes)(
-        x_init, cost, dynamics, u_init, u_lower, u_upper)
+        x_init, cost, dynamics, u_init, u_lower, u_upper, u_zero_I,
+        prev_ctrl)
 
 
 def imitation_loss(theta, cfg: MPCConfig, x_init, u_expert,

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from . import solver
 from .types import GradMethods, LinDx, MPCConfig, QuadCost, Solution
+from .utils.logging import table_log
 
 
 # Compiled solvers are cached at module level, keyed by (config,
@@ -35,19 +36,36 @@ from .types import GradMethods, LinDx, MPCConfig, QuadCost, Solution
 _SOLVER_CACHE = {}
 
 
-def _bcast_cost(C, c, T, n_batch, n_tau):
-    """Add missing time/batch dims (reference mpc/mpc.py:205-226)."""
-    if C.ndim == 2:
-        C = jnp.broadcast_to(C, (T, n_batch, n_tau, n_tau))
-    elif C.ndim == 3:
-        C = jnp.broadcast_to(C[:, None], (T, n_batch, n_tau, n_tau))
-    if c.ndim == 1:
-        c = jnp.broadcast_to(c, (T, n_batch, n_tau))
-    elif c.ndim == 2:
-        c = jnp.broadcast_to(c[:, None], (T, n_batch, n_tau))
-    if C.ndim != 4 or c.ndim != 3:
-        raise ValueError('MPC Error: Unexpected QuadCost shape.')
-    return C, c
+def _is_data_pytree(obj):
+    """True when ``obj`` flattens to data leaves (QuadCost / LinDx /
+    registered-pytree models) and can be a jit operand; plain callables
+    are their own leaf and must be closed over instead."""
+    return not any(l is obj for l in jax.tree_util.tree_leaves(obj))
+
+
+def _batched_cost(cost, dynamics, x_init, u):
+    """Mean-free batched trajectory cost of rolling ``u`` from ``x_init``
+    (the reference's initial-cost diagnostic, mpc/mpc.py:238-243).
+    ``u`` is [T, B, n_ctrl]; returns [B] total costs."""
+    def one(x0, C, c, F, f, ut):
+        cost_i = QuadCost(C, c) if C is not None else cost
+        dx_i = LinDx(F, f) if F is not None else dynamics
+        xs = solver.rollout(dx_i, x0, ut)
+        return solver.trajectory_cost(cost_i, xs, ut)
+
+    is_qc = isinstance(cost, QuadCost)
+    is_lin = isinstance(dynamics, LinDx)
+    C = cost.C if is_qc else None
+    c = cost.c if is_qc else None
+    F = dynamics.F if is_lin else None
+    f = dynamics.f if is_lin else None
+    axes = (0,
+            (1 if jnp.ndim(C) == 4 else None) if C is not None else None,
+            (1 if jnp.ndim(c) == 3 else None) if c is not None else None,
+            (1 if jnp.ndim(F) == 4 else None) if F is not None else None,
+            (1 if jnp.ndim(f) == 3 else None) if f is not None else None,
+            1)
+    return jax.vmap(one, in_axes=axes)(x_init, C, c, F, f, u)
 
 
 def _bcast_bound(v, T, n_batch, n_ctrl, dtype):
@@ -57,6 +75,36 @@ def _bcast_bound(v, T, n_batch, n_ctrl, dtype):
         return None
     v = jnp.asarray(v, dtype)
     return jnp.broadcast_to(v, (T, n_batch, n_ctrl))
+
+
+@jax.tree_util.register_pytree_node_class
+class SlewRateCost:
+    """Cost wrapper on the slew-augmented tau ``(u_{t-1}, x_t, u_t)``:
+    the true cost of the un-augmented part plus the (time-invariant)
+    quadratic slew penalty (reference mpc/mpc.py:36-55).
+
+    ``cost`` maps the true tau ``(x_t, u_t)`` to a scalar; ``slew_C`` is
+    the [n_aug, n_aug] penalty block (see solver._augment_slew).
+    Operates on a single instance (no batch axis); compose with vmap.
+    """
+
+    def __init__(self, cost, slew_C, n_state, n_ctrl):
+        self.cost = cost
+        self.slew_C = slew_C
+        self.n_state = n_state
+        self.n_ctrl = n_ctrl
+
+    def __call__(self, tau):
+        true_tau = tau[self.n_ctrl:]
+        return self.cost(true_tau) + 0.5 * (tau @ self.slew_C @ tau)
+
+    def tree_flatten(self):
+        return (self.slew_C,), (self.cost, self.n_state, self.n_ctrl)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        cost, n_state, n_ctrl = aux
+        return cls(cost, leaves[0], n_state, n_ctrl)
 
 
 class MPC:
@@ -88,7 +136,11 @@ class MPC:
                  not_improved_lim=5,
                  best_cost_eps=1e-4,
                  pnqp_iter=20,
-                 parallel_linesearch=True):
+                 parallel_linesearch=True,
+                 use_fused='auto',
+                 matmul_precision='float32',
+                 parallel_riccati=False,
+                 scan_unroll=4):
         assert (u_lower is None) == (u_upper is None)
         assert max_linesearch_iter > 0
 
@@ -117,7 +169,11 @@ class MPC:
             not_improved_lim=not_improved_lim,
             best_cost_eps=best_cost_eps,
             pnqp_iter=pnqp_iter,
-            parallel_linesearch=parallel_linesearch)
+            parallel_linesearch=parallel_linesearch,
+            use_fused=use_fused,
+            matmul_precision=matmul_precision,
+            parallel_riccati=parallel_riccati,
+            scan_unroll=scan_unroll)
         self._cache = {}
 
     # -- properties mirroring the reference attribute surface -------------
@@ -136,20 +192,44 @@ class MPC:
     # ----------------------------------------------------------------------
     def __call__(self, x_init, cost, dx):
         sol = self.solve(x_init, cost, dx)
-        if self.cfg.detach_unconverged and self.exit_unconverged:
-            # the reference asserts when any example fails to reach a
-            # fixed point (mpc/mpc.py:321-324); this is a host-side check.
+        if self.cfg.detach_unconverged and \
+                (self.exit_unconverged or self.cfg.verbose >= 0):
+            # host-side convergence check (forces a device sync - the
+            # reference is eager and always pays it, mpc/mpc.py:321-328);
+            # ``solve()`` never syncs, so fast paths should use it.
             if not bool(jnp.all(sol.converged)):
-                raise AssertionError(
-                    'LQR: some examples did not converge to a fixed point '
-                    '(max ||full_du|| = '
-                    f'{float(jnp.max(sol.full_du_norm)):.2e} > eps = '
-                    f'{self.cfg.eps:.2e}). Pass exit_unconverged=False to '
-                    'continue with detached unconverged examples.')
+                if self.exit_unconverged:
+                    # the reference asserts here (mpc/mpc.py:323-324)
+                    raise AssertionError(
+                        'LQR: some examples did not converge to a fixed '
+                        'point (max ||full_du|| = '
+                        f'{float(jnp.max(sol.full_du_norm)):.2e} > eps = '
+                        f'{self.cfg.eps:.2e}). Pass exit_unconverged='
+                        'False to continue with detached unconverged '
+                        'examples.')
+                # reference mpc/mpc.py:326-328
+                print('LQR Warning: All examples did not converge to a '
+                      'fixed point.')
+                print('Detaching and *not* backpropping through the bad '
+                      'examples.')
         return sol.x, sol.u, sol.costs
 
     def solve(self, x_init, cost, dx) -> Solution:
-        """Full solve returning the complete per-example Solution."""
+        """Full solve returning the complete per-example Solution.
+
+        Normalizes shapes (reference mpc/mpc.py:193-236), then delegates
+        to ``learning.batched_solve`` - the single batched dispatch path
+        shared with the functional API, so the MPC class and
+        ``batched_solve`` always pick the same (fused-kernel or jnp)
+        execution path, including the kernel-phase-1 + custom-vjp-phase-2
+        composition for differentiable solves.  The jitted program is
+        cached on the problem structure, so the receding-horizon pattern
+        of re-creating the controller every env step reuses the compiled
+        solver (reference examples/gym_pendulum.py:92-95).
+
+        Batch-shared cost / dynamics / bounds are kept un-broadcast so
+        they ride the fused kernel's SMEM fast path.
+        """
         cfg = self.cfg
         T, ns, nc = cfg.T, cfg.n_state, cfg.n_ctrl
         n_tau = ns + nc
@@ -166,16 +246,18 @@ class MPC:
             n_batch = x_init.shape[0]
         assert x_init.shape[0] == n_batch
 
-        # -- cost normalization --------------------------------------------
+        # -- cost normalization (batch-shared layouts preserved) -----------
         if isinstance(cost, QuadCost):
             C = jnp.asarray(cost.C, dtype)
             c = jnp.asarray(cost.c, dtype)
-            C, c = _bcast_cost(C, c, T, n_batch, n_tau)
+            if C.ndim not in (2, 3, 4) or c.ndim not in (1, 2, 3) or \
+                    (C.ndim == 4) != (c.ndim == 3):
+                raise ValueError('MPC Error: Unexpected QuadCost shape.')
             cost_b = QuadCost(C, c)
         else:
             cost_b = cost
 
-        # -- dynamics normalization ------------------------------------------
+        # -- dynamics normalization ----------------------------------------
         if isinstance(dx, LinDx):
             F = jnp.asarray(dx.F, dtype)
             f = jnp.asarray(dx.f, dtype) if dx.f is not None else None
@@ -185,10 +267,6 @@ class MPC:
                 F = F[:T - 1]
             if f is not None and f.shape[0] == T:
                 f = f[:T - 1]
-            if F.ndim == 3:
-                F = jnp.broadcast_to(F[:, None], (T - 1, n_batch, ns, n_tau))
-            if f is not None and f.ndim == 2:
-                f = jnp.broadcast_to(f[:, None], (T - 1, n_batch, ns))
             dx_b = LinDx(F, f)
         else:
             dx_b = dx
@@ -197,140 +275,99 @@ class MPC:
         u_init = self.u_init
         if u_init is not None:
             u_init = jnp.asarray(u_init, dtype)
-            if u_init.ndim == 2:
-                u_init = jnp.broadcast_to(u_init[:, None], (T, n_batch, nc))
 
-        lb = _bcast_bound(self.u_lower, T, n_batch, nc, dtype)
-        ub = _bcast_bound(self.u_upper, T, n_batch, nc, dtype)
+        # scalar bounds stay 0-d (SMEM / static on the fused path);
+        # array bounds broadcast to the full [T, n_batch, n_ctrl]
+        if self.u_lower is None:
+            lb = ub = None
+        elif jnp.ndim(self.u_lower) == 0 and jnp.ndim(self.u_upper) == 0:
+            lb = jnp.asarray(self.u_lower, dtype)
+            ub = jnp.asarray(self.u_upper, dtype)
+        else:
+            lb = _bcast_bound(self.u_lower, T, n_batch, nc, dtype)
+            ub = _bcast_bound(self.u_upper, T, n_batch, nc, dtype)
 
         uz = self.u_zero_I
         if uz is not None:
-            uz = jnp.broadcast_to(jnp.asarray(uz, bool), (T, n_batch, nc))
+            uz = jnp.asarray(uz, bool)
+            if uz.ndim >= 3:
+                uz = jnp.broadcast_to(uz, (T, n_batch, nc))
+            else:
+                uz = jnp.broadcast_to(uz, (T, nc))
 
         pc = self.prev_ctrl
         if pc is not None:
             pc = jnp.asarray(pc, dtype)
             if pc.ndim == 3:     # [1, n_batch, n_ctrl]
                 pc = pc[0]
-            if pc.ndim == 1:     # [n_ctrl]
-                pc = jnp.broadcast_to(pc, (n_batch, nc))
 
         if cfg.grad_method == GradMethods.ANALYTIC_CHECK and \
                 not isinstance(dx_b, LinDx):
             self._analytic_check(x_init, dx_b, u_init, dtype)
             cfg = self._cfg_with(grad_method=GradMethods.ANALYTIC)
 
-        # fused single-kernel Pallas path (ops/fused.py) for in-scope
-        # problems on TPU; same dispatch rule as learning.batched_solve.
-        # Cached jitted like the vmapped path, so the receding-horizon
-        # pattern of re-creating the controller each step reuses the
-        # compiled kernel.
-        if cfg.use_fused != 'never':
-            from .ops import fused
-            # hand the kernel the PRE-broadcast cost/bounds so the
-            # batch-shared case rides SMEM instead of being materialized
-            # to [T, B, ...] and relaid out every call
-            if isinstance(cost, QuadCost):
-                cost_f = QuadCost(jnp.asarray(cost.C, dtype),
-                                  jnp.asarray(cost.c, dtype))
-            else:
-                cost_f = cost_b
-            if isinstance(dx, LinDx):
-                # pre-broadcast dynamics (with the same trailing-slice
-                # trim as the normalization above) keep batch-shared F/f
-                # on the kernel's SMEM path
-                F_f = jnp.asarray(dx.F, dtype)
-                f_f = (jnp.asarray(dx.f, dtype)
-                       if dx.f is not None else None)
-                if F_f.shape[0] == T:
-                    F_f = F_f[:T - 1]
-                if f_f is not None and f_f.shape[0] == T:
-                    f_f = f_f[:T - 1]
-                dx_f = LinDx(F_f, f_f)
-            else:
-                dx_f = dx_b
-            scalar_bounds = (self.u_lower is not None
-                             and jnp.ndim(self.u_lower) == 0
-                             and jnp.ndim(self.u_upper) == 0)
-            lb_f = jnp.asarray(self.u_lower, dtype) if scalar_bounds else lb
-            ub_f = jnp.asarray(self.u_upper, dtype) if scalar_bounds else ub
-            in_scope = fused.supports(cfg, cost_f, dx_f, u_zero_I=uz,
-                                      prev_ctrl=pc, u_lower=lb_f,
-                                      dtype=dtype)
-            if cfg.use_fused == 'always' and not in_scope:
-                raise ValueError(
-                    'use_fused="always" but the problem is outside the '
-                    'fused-kernel scope (see ops/fused.py:supports)')
-            if in_scope and (cfg.use_fused == 'always'
-                             or jax.default_backend() == 'tpu'):
-                key = ('fused', cfg, type(dx_f), u_init is not None,
-                       lb is not None, jnp.ndim(cost_f.C), scalar_bounds,
-                       jnp.ndim(dx_f.F) if isinstance(dx_f, LinDx) else None)
-                if key not in _SOLVER_CACHE:
-                    fn = jax.jit(
-                        lambda x0, C, c, dyn, u0, lbi, ubi:
-                        fused.fused_batched_solve(
-                            cfg, x0, QuadCost(C, c), dyn, u_init=u0,
-                            u_lower=lbi, u_upper=ubi))
-                    _SOLVER_CACHE[key] = (fn, None, None)
-                return _SOLVER_CACHE[key][0](
-                    x_init, cost_f.C, cost_f.c, dx_f, u_init, lb_f, ub_f)
+        if cfg.verbose > 0:
+            # reference mpc/mpc.py:238-243
+            u0 = u_init
+            if u0 is None:
+                u0 = jnp.zeros((T, n_batch, nc), dtype)
+            elif u0.ndim == 2:
+                u0 = jnp.broadcast_to(u0[:, None], (T, n_batch, nc))
+            print('Initial mean(cost): {:.4e}'.format(
+                float(jnp.mean(_batched_cost(cost_b, dx_b, x_init, u0)))))
 
-        fn = self._get_solver(cfg, cost_b, dx_b, u_init is not None,
-                              lb is not None, uz is not None,
-                              pc is not None)
-        return fn(x_init, cost_b, dx_b, u_init, lb, ub, uz, pc)
+        # data pytrees (QuadCost/LinDx/registered models) are jit
+        # operands - so e.g. updated model params are never silently
+        # frozen into a cached program; plain callables are closed over
+        # and keyed by identity.
+        cost_op = cost_b if _is_data_pytree(cost_b) else None
+        dx_op = dx_b if _is_data_pytree(dx_b) else None
+        fn = self._get_solver(cfg, cost_b, dx_b, u_init, lb, uz, pc)
+        sol = fn(x_init, cost_op, dx_op, u_init, lb, ub, uz, pc)
+
+        if cfg.verbose > 0:
+            # per-solve summary row with the reference's table columns
+            # (mpc/mpc.py:287-297); the per-iteration per-example stream
+            # is available via jax.debug.print inside the solver.
+            table_log('lqr', (
+                ('iter', int(jnp.max(sol.n_iter)) - 1),
+                ('mean(cost)', float(jnp.mean(sol.costs)), '{:.4e}'),
+                ('||full_du||_max', float(jnp.max(sol.full_du_norm)),
+                 '{:.2e}'),
+                ('mean(alphas)', float(jnp.mean(sol.alpha)), '{:.2e}'),
+                ('total_qp_iters', int(jnp.sum(sol.n_qp_iter))),
+            ))
+        return sol
 
     # ----------------------------------------------------------------------
     def _cfg_with(self, **kw):
         import dataclasses
         return dataclasses.replace(self.cfg, **kw)
 
-    def _get_solver(self, cfg, cost, dx, has_u_init, has_bounds, has_uz,
-                    has_pc):
-        cost_key = None if isinstance(cost, QuadCost) else id(cost)
-        dx_key = None if isinstance(dx, LinDx) else id(dx)
-        has_f = isinstance(dx, LinDx) and dx.f is not None
-        key = (cfg, cost_key, dx_key, has_f, has_u_init, has_bounds,
-               has_uz, has_pc)
+    def _get_solver(self, cfg, cost, dx, u_init, lb, uz, pc):
+        """Cached jitted wrapper around ``learning.batched_solve``."""
+        from .learning import batched_solve
+
+        cost_call = None if _is_data_pytree(cost) else cost
+        dx_call = None if _is_data_pytree(dx) else dx
+        cost_key = (jax.tree_util.tree_structure(cost)
+                    if cost_call is None else id(cost))
+        dx_key = (jax.tree_util.tree_structure(dx)
+                  if dx_call is None else id(dx))
+        key = (cfg, cost_key, dx_key,
+               jnp.ndim(u_init) if u_init is not None else None,
+               jnp.ndim(lb) if lb is not None else None,
+               jnp.ndim(uz) if uz is not None else None,
+               jnp.ndim(pc) if pc is not None else None)
         if key in _SOLVER_CACHE:
             return _SOLVER_CACHE[key][0]
 
-        cost_call = None if isinstance(cost, QuadCost) else cost
-        dx_call = None if isinstance(dx, LinDx) else dx
-
-        def one(x_init, C, c, F, f, u_init, lbi, ubi, uzi, pci):
-            cost_i = QuadCost(C, c) if cost_call is None else cost_call
-            dx_i = LinDx(F, f) if dx_call is None else dx_call
-            return solver.solve_single(
-                cfg, x_init, cost_i, dx_i,
-                u_init=u_init, u_lower=lbi, u_upper=ubi,
-                u_zero_I=uzi, prev_ctrl=pci)
-
-        # vmap over the batch axis: x_init/prev_ctrl are batch-major,
-        # everything else is time-major with batch at axis 1
-        in_axes = (
-            0,
-            1 if cost_call is None else None,
-            1 if cost_call is None else None,
-            1 if dx_call is None else None,
-            (1 if has_f else None) if dx_call is None else None,
-            1 if has_u_init else None,
-            1 if has_bounds else None,
-            1 if has_bounds else None,
-            1 if has_uz else None,
-            0 if has_pc else None,
-        )
-        batched = jax.vmap(one, in_axes=in_axes, out_axes=Solution(
-            x=1, u=1, costs=0, full_du_norm=0, n_iter=0, n_qp_iter=0,
-            converged=0, mean_alpha=0))
-
-        def run(x_init, cost_b, dx_b, u_init, lb, ub, uz, pc):
-            C = cost_b.C if cost_call is None else None
-            c = cost_b.c if cost_call is None else None
-            F = dx_b.F if dx_call is None else None
-            f = (dx_b.f if has_f else None) if dx_call is None else None
-            return batched(x_init, C, c, F, f, u_init, lb, ub, uz, pc)
+        def run(x_init, cost_op, dx_op, u_init, lb, ub, uz, pc):
+            cost_i = cost_op if cost_call is None else cost_call
+            dx_i = dx_op if dx_call is None else dx_call
+            return batched_solve(
+                cfg, x_init, cost_i, dx_i, u_init=u_init,
+                u_lower=lb, u_upper=ub, u_zero_I=uz, prev_ctrl=pc)
 
         fn = jax.jit(run)
         # keep refs to the callables so their ids (part of the key) stay

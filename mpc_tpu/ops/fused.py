@@ -23,8 +23,10 @@ Scope (dispatch falls back to the jnp path otherwise - see
 ``supports``): quadratic cost; dynamics either in structure-of-arrays
 form (``soa_step``/``soa_params`` on the model, Jacobians extracted
 in-kernel with ``jax.linearize``) or ``LinDx``; float32; horizons up to
-128 (unrolled in-kernel); delta_u trust regions supported; no
-slew/u_zero_I.  The box-constrained control solve is the
+128 (unrolled in-kernel); delta_u trust regions, ``u_zero_I`` zero-pin
+masks (in-kernel masked solves) and slew-rate penalties (host-side
+state augmentation, ``_fused_slew_solve``) supported.  The
+box-constrained control solve is the
 closed-form 1-D QP for n_ctrl == 1 (ops/pnqp.py:pnqp_1d) and an
 in-kernel projected-Newton QP with masked unrolled Cholesky solves for
 n_ctrl > 1 (same semantics as ops/pnqp.py: clamped-start, active-set
@@ -81,11 +83,14 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
     else:
         dyn_ok = _is_soa(dynamics)
     return (
-        cfg.slew_rate_penalty is None
+        # slew runs through the host-side state augmentation (see
+        # fused_batched_solve); non-quadratic costs are out of scope
+        # anyway, so any in-scope problem can be augmented
         # delta_u requires bounds, like the reference (mpc/lqr_step.py:195)
-        and (cfg.delta_u is None or u_lower is not None)
-        and u_zero_I is None
-        and prev_ctrl is None
+        (cfg.delta_u is None or u_lower is not None)
+        # u_zero_I: [T, n_ctrl] shared or [T, B, n_ctrl] batched masks
+        and (u_zero_I is None or getattr(u_zero_I, 'ndim', 0) in (2, 3))
+        and (prev_ctrl is None or getattr(prev_ctrl, 'ndim', 1) in (1, 2))
         and not cfg.backprop
         and cfg.verbose <= 0
         and isinstance(cost, QuadCost)
@@ -96,10 +101,30 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
             (getattr(cost.c, 'ndim', 0) == 3)
         and dyn_ok
         and dtype == jnp.float32
-        # the horizon is unrolled inside the kernel; very long horizons
-        # would explode Mosaic compile time (jnp path handles them)
-        and cfg.T <= 128
+        # horizons <= 128 run the fully-unrolled kernel; longer horizons
+        # run the fori-loop kernel (_make_kernel_long) when their per-t
+        # state fits the VMEM budget; beyond that the jnp path handles it
+        and (cfg.T <= 128 or _long_fits(cfg, cost, dynamics, u_lower,
+                                        u_zero_I))
     )
+
+
+def _long_fits(cfg, cost, dynamics, u_lower, u_zero_I) -> bool:
+    """Whether the long-horizon kernel's VMEM working set fits."""
+    lindx = isinstance(dynamics, LinDx)
+    ns, nc = cfg.n_state, cfg.n_ctrl
+    if cfg.slew_rate_penalty is not None:
+        ns += nc           # host-side augmentation enlarges the state
+    return _long_vmem_bytes(
+        cfg.T, ns, nc,
+        cost_smem=getattr(cost.C, 'ndim', 0) < 4,
+        dyn_smem=lindx and getattr(dynamics.F, 'ndim', 0) == 3,
+        bounds_smem=u_lower is None or jnp.ndim(u_lower) < 3,
+        uz_smem=u_zero_I is None or getattr(u_zero_I, 'ndim', 0) < 3,
+        has_uz=u_zero_I is not None,
+        has_bounds=u_lower is not None,
+        has_f=lindx and dynamics.f is not None,
+        lindx=lindx) <= _LONG_T_VMEM_LIMIT
 
 
 # ---------------------------------------------------------------------------
@@ -261,12 +286,12 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                  has_f, lqr_iter, pnqp_iter, eps, best_cost_eps,
                  not_improved_lim, linesearch_decay, max_linesearch_iter,
                  delta_u=None, cost_smem=False, bounds_smem=False,
-                 dyn_smem=False):
+                 dyn_smem=False, has_uz=False, uz_smem=False):
     ntau = ns + nc
     alphas = [linesearch_decay ** k for k in range(max_linesearch_iter)]
 
     def kernel(params_ref, C_ref, c_ref, F_ref, f_ref, x0_ref, u0_ref,
-               lb_ref, ub_ref, xout_ref, uout_ref, stats_ref):
+               lb_ref, ub_ref, uz_ref, xout_ref, uout_ref, stats_ref):
         x0 = [x0_ref[i, 0] for i in range(ns)]
         u0 = [[u0_ref[t, j, 0] for j in range(nc)] for t in range(T)]
         if cost_smem:
@@ -288,6 +313,13 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                 lb = [[lb_ref[t, j, 0] for j in range(nc)]
                       for t in range(T)]
                 ub = [[ub_ref[t, j, 0] for j in range(nc)]
+                      for t in range(T)]
+        if has_uz:
+            # zero-pin masks as floats (1.0 = control pinned to zero)
+            if uz_smem:
+                uz = [[uz_ref[t, j] for j in range(nc)] for t in range(T)]
+            else:
+                uz = [[uz_ref[t, j, 0] for j in range(nc)]
                       for t in range(T)]
 
         if dyn_mode == 'soa':
@@ -435,7 +467,32 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                 qu = [qt[ns + i] for i in range(nc)]
 
                 if not has_bounds:
-                    if nc == 1:
+                    if has_uz:
+                        # zero-pinned controls: masked free-subspace
+                        # solve, pinned rows of K/k exactly zero
+                        # (reference mpc/lqr_step.py:99-127; same
+                        # construction as the jnp path's
+                        # masked_free_matrix + mask_rows)
+                        free = [(uz[t][i] + zero) < 0.5
+                                for i in range(nc)]
+                        if nc == 1:
+                            inv = 1.0 / Quu[0][0]
+                            kt = [jnp.where(free[0], -qu[0] * inv, 0.0)]
+                            Kt = [[jnp.where(free[0], -Qux[0][j] * inv,
+                                             0.0) for j in range(ns)]]
+                        else:
+                            qu_m = [jnp.where(free[i], qu[i], 0.0)
+                                    for i in range(nc)]
+                            L_f = _masked_free_chol(Quu, free, nc)
+                            kt = [-v for v in _chol_solve(L_f, qu_m, nc)]
+                            cols = [_chol_solve(
+                                L_f,
+                                [jnp.where(free[i], Qux[i][j], 0.0)
+                                 for i in range(nc)], nc)
+                                for j in range(ns)]
+                            Kt = [[-cols[j][i] for j in range(ns)]
+                                  for i in range(nc)]
+                    elif nc == 1:
                         inv = 1.0 / Quu[0][0]
                         kt = [-qu[0] * inv]
                         Kt = [[-Qux[0][j] * inv for j in range(ns)]]
@@ -542,6 +599,11 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                     for m in range(nc):
                         v = (sum(K[t][m][j] * dxt[j] for j in range(ns))
                              + u[t][m] + a * k[t][m])
+                        if has_uz:
+                            # zero-mask before the clamp, like the
+                            # reference (mpc/lqr_step.py:197-213)
+                            v = jnp.where((uz[t][m] + zero) > 0.5,
+                                          0.0, v)
                         if has_bounds:
                             lo_f, hi_f = lb[t][m], ub[t][m]
                             if delta_u is not None:
@@ -642,11 +704,499 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
 
 
 # ---------------------------------------------------------------------------
+# long-horizon kernel: fori_loop over t with per-t state in VMEM scratch
+# ---------------------------------------------------------------------------
+
+def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
+                      n_params, has_f, lqr_iter, pnqp_iter, eps,
+                      best_cost_eps, not_improved_lim, linesearch_decay,
+                      max_linesearch_iter, delta_u=None, cost_smem=True,
+                      bounds_smem=True, dyn_smem=True, has_uz=False,
+                      uz_smem=True, t_unroll=1):
+    """Same solver as ``_make_kernel`` but with the horizon as a
+    ``lax.fori_loop`` instead of a Python unroll, so T is bounded by the
+    VMEM budget (see ``_long_vmem_bytes``) instead of Mosaic compile
+    time.  Per-t state (trajectory, gains, best trajectory) lives in
+    VMEM scratch/output refs indexed dynamically on the leading dim;
+    only the small-dimension loops stay Python-unrolled.
+
+    The line search evaluates the deterministic alpha schedule with
+    cost-only rollouts (nothing stored), then re-rolls once with the
+    per-lane selected alpha to commit - trading one extra rollout for
+    O(T) trial-trajectory storage.  Semantics match ``_make_kernel``
+    exactly (same selection rule, masks, and accumulation order), except
+    ``old_cost`` is carried from the previous accepted cost instead of
+    recomputed (bit-identical: both are the same stage-order sum).
+    """
+    ntau = ns + nc
+    alphas = [linesearch_decay ** k for k in range(max_linesearch_iter)]
+
+    def kernel(params_ref, C_ref, c_ref, F_ref, f_ref, x0_ref, u0_ref,
+               lb_ref, ub_ref, uz_ref, xout_ref, uout_ref, stats_ref,
+               x_ref, u_ref, K_ref, k_ref):
+        x0 = [x0_ref[i, 0] for i in range(ns)]
+        zero = x0[0] * 0.0
+        one = zero + 1.0
+        big = zero + jnp.float32(3.0e38)
+
+        # ---- dynamic-t accessors ----------------------------------------
+        def read_C(t):
+            if cost_smem:
+                return [[C_ref[t, i * ntau + j] for j in range(ntau)]
+                        for i in range(ntau)]
+            return [[C_ref[t, i, j, 0] for j in range(ntau)]
+                    for i in range(ntau)]
+
+        def read_c(t):
+            if cost_smem:
+                return [c_ref[t, i] for i in range(ntau)]
+            return [c_ref[t, i, 0] for i in range(ntau)]
+
+        def read_bounds(t):
+            if bounds_smem:
+                return ([lb_ref[t, j] for j in range(nc)],
+                        [ub_ref[t, j] for j in range(nc)])
+            return ([lb_ref[t, j, 0] for j in range(nc)],
+                    [ub_ref[t, j, 0] for j in range(nc)])
+
+        def read_uz(t):
+            if uz_smem:
+                return [uz_ref[t, j] for j in range(nc)]
+            return [uz_ref[t, j, 0] for j in range(nc)]
+
+        def read_x(t):
+            return [x_ref[t, i] for i in range(ns)]
+
+        def read_u(t):
+            return [u_ref[t, m] for m in range(nc)]
+
+        def read_K(t):
+            return [[K_ref[t, m * ns + j] for j in range(ns)]
+                    for m in range(nc)]
+
+        def read_k(t):
+            return [k_ref[t, m] for m in range(nc)]
+
+        # ---- dynamics ----------------------------------------------------
+        if dyn_mode == 'soa':
+            params = tuple(params_ref[0, k] for k in range(n_params))
+
+            if nc == 1:
+                def step(xs, us):
+                    return soa_step(tuple(xs), us[0], params)
+            else:
+                def step(xs, us):
+                    return soa_step(tuple(xs), tuple(us), params)
+
+            def dyn_step(t, xs, us):
+                return list(step(xs, us))
+
+            def dyn_F(t, xs, us):
+                ones_v, zeros_v = one, zero
+                if nc == 1:
+                    prim = (tuple(xs), us[0])
+                else:
+                    prim = (tuple(xs), tuple(us))
+                _, lin = jax.linearize(step, *prim)
+                Ft = _mat(ns, ntau)
+                for j in range(ns):
+                    tang_x = tuple(ones_v if i == j else zeros_v
+                                   for i in range(ns))
+                    if nc == 1:
+                        col = lin(tang_x, zeros_v)
+                    else:
+                        col = lin(tang_x,
+                                  tuple(zeros_v for _ in range(nc)))
+                    for i in range(ns):
+                        Ft[i][j] = col[i]
+                for j in range(nc):
+                    if nc == 1:
+                        col = lin(tuple(zeros_v for _ in range(ns)),
+                                  ones_v)
+                    else:
+                        col = lin(tuple(zeros_v for _ in range(ns)),
+                                  tuple(ones_v if i == j else zeros_v
+                                        for i in range(nc)))
+                    for i in range(ns):
+                        Ft[i][ns + j] = col[i]
+                return Ft
+        else:
+            def read_F(t):
+                if dyn_smem:
+                    return [[F_ref[t, i * ntau + j] for j in range(ntau)]
+                            for i in range(ns)]
+                return [[F_ref[t, i, j, 0] for j in range(ntau)]
+                        for i in range(ns)]
+
+            def read_f(t):
+                if not has_f:
+                    return None
+                if dyn_smem:
+                    return [f_ref[t, i] for i in range(ns)]
+                return [f_ref[t, i, 0] for i in range(ns)]
+
+            def dyn_step(t, xs, us):
+                # t is clamped by callers to [0, T-2]
+                Ft = read_F(t)
+                fv = read_f(t)
+                tau = list(xs) + list(us)
+                out = []
+                for i in range(ns):
+                    s = 0.0
+                    for j in range(ntau):
+                        s = s + Ft[i][j] * tau[j]
+                    if fv is not None:
+                        s = s + fv[i]
+                    out.append(s)
+                return out
+
+            def dyn_F(t, xs, us):
+                return read_F(t)
+
+        def stage_cost(t, xs, us):
+            return _quad_lin_cost(read_C(t), read_c(t),
+                                  list(xs) + list(us))
+
+        # ---- control solve at one t (shared by peel + loop) --------------
+        def ctrl_solve(t, Qt, qt, prev_kt):
+            """Returns (kt, Kt, qp_inc); prev_kt None only at the peeled
+            t = T-1 step (static branch).  Same three regimes as
+            ``_make_kernel``."""
+            Quu = [[Qt[ns + i][ns + j] for j in range(nc)]
+                   for i in range(nc)]
+            Qux = [[Qt[ns + i][j] for j in range(ns)]
+                   for i in range(nc)]
+            qu = [qt[ns + i] for i in range(nc)]
+            qp_inc = zero
+
+            if not has_bounds:
+                if has_uz:
+                    uzt = read_uz(t)
+                    free = [(uzt[i] + zero) < 0.5 for i in range(nc)]
+                    if nc == 1:
+                        inv = 1.0 / Quu[0][0]
+                        kt = [jnp.where(free[0], -qu[0] * inv, 0.0)]
+                        Kt = [[jnp.where(free[0], -Qux[0][j] * inv, 0.0)
+                               for j in range(ns)]]
+                    else:
+                        qu_m = [jnp.where(free[i], qu[i], 0.0)
+                                for i in range(nc)]
+                        L_f = _masked_free_chol(Quu, free, nc)
+                        kt = [-v for v in _chol_solve(L_f, qu_m, nc)]
+                        cols = [_chol_solve(
+                            L_f,
+                            [jnp.where(free[i], Qux[i][j], 0.0)
+                             for i in range(nc)], nc)
+                            for j in range(ns)]
+                        Kt = [[-cols[j][i] for j in range(ns)]
+                              for i in range(nc)]
+                elif nc == 1:
+                    inv = 1.0 / Quu[0][0]
+                    kt = [-qu[0] * inv]
+                    Kt = [[-Qux[0][j] * inv for j in range(ns)]]
+                else:
+                    L = _cholesky(Quu, nc, jitter=1e-11)
+                    kt = [-v for v in _chol_solve(L, qu, nc)]
+                    cols = [_chol_solve(
+                        L, [Qux[i][j] for i in range(nc)], nc)
+                        for j in range(ns)]
+                    Kt = [[-cols[j][i] for j in range(ns)]
+                          for i in range(nc)]
+            else:
+                lbt, ubt = read_bounds(t)
+                ut = read_u(t)
+                lo = [lbt[j] - ut[j] for j in range(nc)]
+                hi = [ubt[j] - ut[j] for j in range(nc)]
+                if delta_u is not None:
+                    lo = [jnp.maximum(v, -delta_u) for v in lo]
+                    hi = [jnp.minimum(v, delta_u) for v in hi]
+                if nc == 1:
+                    Quu_s = Quu[0][0]
+                    inv = 1.0 / Quu_s
+                    kf = -qu[0] * inv
+                    kv = jnp.clip(kf, lo[0], hi[0])
+                    g = Quu_s * kv + qu[0]
+                    clamped = ((kv == lo[0]) & (g > 0)) | \
+                        ((kv == hi[0]) & (g < 0))
+                    kt = [kv]
+                    Kt = [[jnp.where(clamped, 0.0, -Qux[0][j] * inv)
+                           for j in range(ns)]]
+                    qp_inc = qp_inc + 1.0
+                else:
+                    if prev_kt is None:
+                        L0 = _cholesky(Quu, nc, jitter=1e-11)
+                        x_init = [-v for v in _chol_solve(L0, qu, nc)]
+                    else:
+                        x_init = prev_kt
+                    kt, L_free, free, qp_it = _pnqp_kernel(
+                        Quu, qu, lo, hi, x_init, nc, pnqp_iter)
+                    qp_inc = qp_inc + qp_it
+                    cols = [_chol_solve(
+                        L_free,
+                        [jnp.where(free[i], Qux[i][j], 0.0)
+                         for i in range(nc)], nc)
+                        for j in range(ns)]
+                    Kt = [[-cols[j][i] for j in range(ns)]
+                          for i in range(nc)]
+            return kt, Kt, qp_inc
+
+        def vv_update(Qt, qt, Kt, kt):
+            """Cost-to-go update (reference mpc/lqr_step.py:155-158)."""
+            Quu = [[Qt[ns + i][ns + j] for j in range(nc)]
+                   for i in range(nc)]
+            qu = [qt[ns + i] for i in range(nc)]
+            QK = _mat(ns, ns)
+            for i in range(ns):
+                for j in range(ns):
+                    QK[i][j] = sum(Qt[i][ns + m] * Kt[m][j]
+                                   for m in range(nc))
+            KQuu = _mat(nc, ns)
+            for m in range(nc):
+                for j in range(ns):
+                    KQuu[m][j] = sum(Quu[m][mm] * Kt[mm][j]
+                                     for mm in range(nc))
+            Vn = _mat(ns, ns)
+            for i in range(ns):
+                for j in range(i, ns):
+                    kqk = sum(Kt[m][i] * KQuu[m][j] for m in range(nc))
+                    Vn[i][j] = Qt[i][j] + QK[i][j] + QK[j][i] + kqk
+                    Vn[j][i] = Vn[i][j]
+            Quuk = [sum(Quu[m][mm] * kt[mm] for mm in range(nc))
+                    for m in range(nc)]
+            vn = [qt[i]
+                  + sum(Qt[i][ns + m] * kt[m] for m in range(nc))
+                  + sum(Kt[m][i] * (qu[m] + Quuk[m]) for m in range(nc))
+                  for i in range(ns)]
+            return Vn, vn
+
+        def write_gains(t, Kt, kt):
+            # gains computed purely from SMEM scalars (batch-shared
+            # cost/dynamics, unconstrained solve) are 0-d; broadcast to
+            # the lane tile before storing
+            for m in range(nc):
+                k_ref[t, m] = kt[m] + zero
+                for j in range(ns):
+                    K_ref[t, m * ns + j] = Kt[m][j] + zero
+
+        def recentred(t):
+            xt = read_x(t)
+            ut = read_u(t)
+            Ct = read_C(t)
+            ct = read_c(t)
+            tau = xt + ut
+            cb = [sum(Ct[i][j] * tau[j] for j in range(ntau)) + ct[i]
+                  for i in range(ntau)]
+            return Ct, cb, xt, ut
+
+        def riccati():
+            """Reverse DP over the horizon; gains land in K_ref/k_ref.
+            Returns total in-kernel QP iterations (lane vector)."""
+            # peel t = T-1 (V_T = 0, so Q = C)
+            Ct, cb, _, _ = recentred(T - 1)
+            kt, Kt, qp0 = ctrl_solve(T - 1, Ct, cb, None)
+            write_gains(T - 1, Kt, kt)
+            V, v = vv_update(Ct, cb, Kt, kt)
+
+            def rstep(i, carry):
+                V, v, prev_kt, qp = carry
+                t = T - 2 - i
+                Ct, cb, xt, ut = recentred(t)
+                Ft = dyn_F(t, xt, ut)
+                W = _mat(ns, ntau)
+                for a in range(ns):
+                    for b in range(ntau):
+                        W[a][b] = sum(V[a][kk] * Ft[kk][b]
+                                      for kk in range(ns))
+                Qt = _mat(ntau, ntau)
+                for a in range(ntau):
+                    for b in range(a, ntau):
+                        Qt[a][b] = Ct[a][b] + sum(
+                            Ft[kk][a] * W[kk][b] for kk in range(ns))
+                        Qt[b][a] = Qt[a][b]
+                qt = [cb[a] + sum(Ft[kk][a] * v[kk] for kk in range(ns))
+                      for a in range(ntau)]
+                kt, Kt, qp_inc = ctrl_solve(t, Qt, qt, prev_kt)
+                write_gains(t, Kt, kt)
+                Vn, vn = vv_update(Qt, qt, Kt, kt)
+                return (Vn, vn, kt, qp + qp_inc)
+
+            out = lax.fori_loop(0, T - 1, rstep, (V, v, kt, qp0),
+                                unroll=t_unroll)
+            return out[3]
+
+        def new_ctrl(t, dxt, u_old, alpha):
+            Kt = read_K(t)
+            kt = read_k(t)
+            ut = []
+            for m in range(nc):
+                v = (sum(Kt[m][j] * dxt[j] for j in range(ns))
+                     + u_old[m] + alpha * kt[m])
+                if has_uz:
+                    uzt = read_uz(t)
+                    v = jnp.where((uzt[m] + zero) > 0.5, 0.0, v)
+                if has_bounds:
+                    lbt, ubt = read_bounds(t)
+                    lo_f, hi_f = lbt[m], ubt[m]
+                    if delta_u is not None:
+                        lo_f = jnp.maximum(u_old[m] - delta_u, lo_f)
+                        hi_f = jnp.minimum(u_old[m] + delta_u, hi_f)
+                    v = jnp.clip(v, lo_f, hi_f)
+                ut.append(v)
+            return ut
+
+        def rollout_cost(alpha):
+            """Cost-only trial rollout; returns (cost, ||du||^2)."""
+            def fstep(t, carry):
+                xt, cost, du2 = carry
+                x_old = read_x(t)
+                u_old = read_u(t)
+                dxt = [xt[i] - x_old[i] for i in range(ns)]
+                ut = new_ctrl(t, dxt, u_old, alpha)
+                cost = cost + stage_cost(t, xt, ut)
+                for m in range(nc):
+                    d = u_old[m] - ut[m]
+                    du2 = du2 + d * d
+                tm = jnp.minimum(t, T - 2)
+                xn = dyn_step(tm, xt, ut)   # unused past t = T-2
+                return (xn, cost, du2)
+
+            out = lax.fori_loop(0, T, fstep, (list(x0), zero, zero),
+                                unroll=t_unroll)
+            return out[1], out[2]
+
+        def rollout_commit(alpha, active, take_best):
+            """Re-roll with the per-lane selected alpha, merging into the
+            current (active lanes) and best (take_best lanes) refs."""
+            def fstep(t, carry):
+                (xt,) = carry
+                x_old = read_x(t)
+                u_old = read_u(t)
+                dxt = [xt[i] - x_old[i] for i in range(ns)]
+                ut = new_ctrl(t, dxt, u_old, alpha)
+                for i in range(ns):
+                    xm = jnp.where(active, xt[i], x_old[i])
+                    x_ref[t, i] = xm
+                    xout_ref[t, i, 0] = jnp.where(
+                        take_best, xm, xout_ref[t, i, 0])
+                for m in range(nc):
+                    um = jnp.where(active, ut[m], u_old[m])
+                    u_ref[t, m] = um
+                    uout_ref[t, m, 0] = jnp.where(
+                        take_best, um, uout_ref[t, m, 0])
+                tm = jnp.minimum(t, T - 2)
+                xn = dyn_step(tm, xt, ut)
+                return (xn,)
+
+            lax.fori_loop(0, T, fstep, (list(x0),), unroll=t_unroll)
+
+        # ---- init: u <- u0, x <- rollout(u0), best <- initial traj -------
+        def istep(t, carry):
+            xt, cost = carry
+            ut = [u0_ref[t, m, 0] for m in range(nc)]
+            for m in range(nc):
+                u_ref[t, m] = ut[m]
+                uout_ref[t, m, 0] = ut[m]
+            for i in range(ns):
+                x_ref[t, i] = xt[i]
+                xout_ref[t, i, 0] = xt[i]
+            cost = cost + stage_cost(t, xt, ut)
+            tm = jnp.minimum(t, T - 2)
+            xn = dyn_step(tm, xt, ut)
+            return (xn, cost)
+
+        _, init_cost = lax.fori_loop(0, T, istep, (list(x0), zero),
+                                     unroll=t_unroll)
+
+        # ---- outer iLQR loop ---------------------------------------------
+        def outer(it, s):
+            (best_cost, best_du, cur_du, nni, n_qp, alpha_sel, active_f,
+             n_it, cost_cur) = s
+            active = active_f > 0.5
+
+            qp_cnt = riccati()
+            old_cost = cost_cur
+
+            found = zero > one
+            sel_alpha = None
+            sel_cost = None
+            full_du = None
+            for ki, a in enumerate(alphas):
+                cost_a, du2 = rollout_cost(a)
+                if ki == 0:
+                    full_du = jnp.sqrt(du2)
+                    sel_alpha = zero + a
+                    sel_cost = cost_a
+                    found = cost_a <= old_cost
+                else:
+                    take = ~found
+                    sel_alpha = jnp.where(take, a, sel_alpha)
+                    sel_cost = jnp.where(take, cost_a, sel_cost)
+                    found = found | (take & (cost_a <= old_cost))
+
+            first = it == 0
+            improved = sel_cost <= best_cost + best_cost_eps
+            take_best = active & (first | improved)
+            rollout_commit(sel_alpha, active, take_best)
+
+            nni_new = jnp.where(active,
+                                jnp.where(improved & jnp.logical_not(first),
+                                          0.0, nni + 1.0), nni)
+            best_cost_new = jnp.where(take_best, sel_cost, best_cost)
+            best_du_new = jnp.where(take_best, full_du, best_du)
+            cur_du_new = jnp.where(active, full_du, cur_du)
+            n_qp_new = n_qp + jnp.where(active, qp_cnt, 0.0)
+            alpha_new = jnp.where(active, sel_alpha, alpha_sel)
+            n_it_new = n_it + jnp.where(active, 1.0, 0.0)
+            cost_cur_new = jnp.where(active, sel_cost, cost_cur)
+
+            keep = (cur_du_new >= eps) & (nni_new <= not_improved_lim)
+            active_new = jnp.where(active & keep, one, zero)
+
+            return (best_cost_new, best_du_new, cur_du_new, nni_new,
+                    n_qp_new, alpha_new, active_new, n_it_new,
+                    cost_cur_new)
+
+        init = (big, big, big, zero, zero, one, one, zero, init_cost)
+        out = lax.fori_loop(0, lqr_iter, outer, init, unroll=False)
+        (best_cost, best_du, _, _, n_qp, alpha, _, n_it, _) = out
+
+        stats_ref[0, 0] = best_cost
+        stats_ref[1, 0] = best_du
+        stats_ref[2, 0] = n_it
+        stats_ref[3, 0] = n_qp
+        stats_ref[4, 0] = alpha
+
+    return kernel
+
+
+def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
+                     uz_smem, has_uz, has_bounds, has_f, lindx):
+    """Conservative VMEM estimate (bytes) for the long-horizon kernel:
+    per-t lane tiles for u0+outputs+scratch plus any batched (VMEM)
+    operands.  u0 is input/output-aliased with uout, so counted once."""
+    ntau = ns + nc
+    tiles = 2 * ns + 2 * nc + nc * ns + nc   # xout,x + uout(=u0),u + K,k
+    if not cost_smem:
+        tiles += ntau * ntau + ntau
+    if lindx and not dyn_smem:
+        tiles += ns * ntau + (ns if has_f else 0)
+    if has_bounds and not bounds_smem:
+        tiles += 2 * nc
+    if has_uz and not uz_smem:
+        tiles += nc
+    return T * tiles * SUB * LANE * 4
+
+
+_LONG_T_VMEM_LIMIT = 13 * 2 ** 20   # leave headroom in the ~16MB VMEM
+
+
+# ---------------------------------------------------------------------------
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
 def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                         u_init=None, u_lower=None, u_upper=None,
+                        u_zero_I=None, prev_ctrl=None,
                         interpret: bool = False) -> Solution:
     """Batched solve through the fused kernel.
 
@@ -655,6 +1205,12 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
     (streamed through VMEM) or batch-shared / scalar (kept in SMEM).
     Returns a batched Solution (out_axes matching the vmapped path).
     """
+    if cfg.slew_rate_penalty is not None:
+        return _fused_slew_solve(cfg, x_init, cost, dynamics,
+                                 u_init=u_init, u_lower=u_lower,
+                                 u_upper=u_upper, u_zero_I=u_zero_I,
+                                 prev_ctrl=prev_ctrl, interpret=interpret)
+
     T, ns, nc = cfg.T, cfg.n_state, cfg.n_ctrl
     ntau = ns + nc
     B = x_init.shape[0]
@@ -751,9 +1307,24 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         lb = ub = jnp.zeros((T, nc), dtype)
         b_spec = _smem((T, nc))
 
+    has_uz = u_zero_I is not None
+    if has_uz:
+        uza = jnp.asarray(u_zero_I)
+        uz_smem = uza.ndim < 3
+        if uz_smem:
+            uzv = jnp.broadcast_to(uza, (T, nc)).astype(dtype)
+            uz_spec = _smem((T, nc))
+        else:
+            uzv = prep(uza.astype(dtype), 1)
+            uz_spec = _vmem((T, nc, 1, SUB, LANE), 2)
+    else:
+        uz_smem = True
+        uzv = jnp.zeros((1, 1), dtype)
+        uz_spec = _smem((1, 1))
+
     x0 = prep(x_init, 0)                   # [ns, G, 8, 128]
 
-    kernel = _make_kernel(
+    common = dict(
         T=T, ns=ns, nc=nc, has_bounds=has_bounds,
         dyn_mode=dyn_mode, soa_step=soa_step, n_params=n_params,
         has_f=has_f,
@@ -764,10 +1335,26 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         linesearch_decay=float(cfg.linesearch_decay),
         max_linesearch_iter=int(cfg.max_linesearch_iter),
         delta_u=(float(cfg.delta_u) if cfg.delta_u is not None else None),
-        cost_smem=cost_smem, bounds_smem=bounds_smem, dyn_smem=dyn_smem)
+        cost_smem=cost_smem, bounds_smem=bounds_smem, dyn_smem=dyn_smem,
+        has_uz=has_uz, uz_smem=uz_smem)
 
-    g5 = lambda g: (0, 0, g, 0, 0)
-    g4 = lambda g: (0, g, 0, 0)
+    long_horizon = T > 128
+    extra = {}
+    if long_horizon:
+        kernel = _make_kernel_long(**common)
+        extra = dict(
+            scratch_shapes=[
+                pltpu.VMEM((T, ns, SUB, LANE), dtype),       # x
+                pltpu.VMEM((T, nc, SUB, LANE), dtype),       # u
+                pltpu.VMEM((T, nc * ns, SUB, LANE), dtype),  # K
+                pltpu.VMEM((T, nc, SUB, LANE), dtype),       # k
+            ],
+            # u0 aliases the u-output buffer (it IS the initial best_u),
+            # saving T*nc lane tiles of VMEM
+            input_output_aliases={6: 1},
+        )
+    else:
+        kernel = _make_kernel(**common)
 
     xs, us, stats = pl.pallas_call(
         kernel,
@@ -782,6 +1369,7 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
             _vmem((T, nc, 1, SUB, LANE), 2),
             b_spec,
             b_spec,
+            uz_spec,
         ],
         out_specs=[
             _vmem((T, ns, 1, SUB, LANE), 2),
@@ -794,7 +1382,8 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
             jax.ShapeDtypeStruct((5, G, SUB, LANE), dtype),
         ],
         interpret=interpret,
-    )(params, C, c, F, f, x0, u0, lb, ub)
+        **extra,
+    )(params, C, c, F, f, x0, u0, lb, ub, uzv)
 
     def unprep(a, batch_axis):
         a = a.reshape(a.shape[:-3] + (Bp,))
@@ -810,7 +1399,98 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
     return Solution(
         x=x, u=u, costs=best_cost, full_du_norm=best_du,
         n_iter=n_it.astype(jnp.int32), n_qp_iter=n_qp.astype(jnp.int32),
-        converged=best_du < cfg.eps, mean_alpha=alpha)
+        converged=best_du < cfg.eps, alpha=alpha)
+
+
+class _SlewSoA:
+    """SoA passthrough wrapper for the slew-augmented state
+    ``(u_{t-1}, x_t)`` (the in-kernel analog of the reference's
+    CtrlPassthroughDynamics, mpc/dynamics.py:133-153)."""
+
+    def __init__(self, dynamics, nc):
+        self._dyn = dynamics
+        self._nc = nc
+
+    def soa_params(self):
+        return self._dyn.soa_params()
+
+    def soa_step(self, xs, u, params):
+        nc = self._nc
+        xn = self._dyn.soa_step(tuple(xs[nc:]), u, params)
+        if nc == 1:
+            return (u,) + tuple(xn)
+        return tuple(u) + tuple(xn)
+
+
+def _fused_slew_solve(cfg, x_init, cost: QuadCost, dynamics,
+                      u_init=None, u_lower=None, u_upper=None,
+                      u_zero_I=None, prev_ctrl=None,
+                      interpret: bool = False) -> Solution:
+    """Slew-rate penalty through the fused kernel via host-side state
+    augmentation (the same construction as solver._augment_slew /
+    reference mpc/mpc.py:362-445): augment the state with the previous
+    control, solve the augmented problem in-kernel, strip the
+    augmentation from the returned states.  Batch-shared cost/dynamics
+    layouts stay batch-shared, so they keep riding SMEM.
+    """
+    import dataclasses
+
+    T, ns, nc = cfg.T, cfg.n_state, cfg.n_ctrl
+    ntau = ns + nc
+    naug = ntau + nc
+    B = x_init.shape[0]
+    dtype = jnp.float32
+
+    gam = jnp.asarray(cfg.slew_rate_penalty, dtype)
+    eyec = jnp.eye(nc, dtype=dtype)
+    slew_blk = jnp.zeros((naug, naug), dtype)
+    slew_blk = slew_blk.at[:nc, :nc].set(gam * eyec)
+    slew_blk = slew_blk.at[-nc:, -nc:].set(gam * eyec)
+    slew_blk = slew_blk.at[:nc, -nc:].set(-gam * eyec)
+    slew_blk = slew_blk.at[-nc:, :nc].set(-gam * eyec)
+
+    Ca = jnp.asarray(cost.C, dtype)
+    ca = jnp.asarray(cost.c, dtype)
+    pad_m = [(0, 0)] * (Ca.ndim - 2) + [(nc, 0), (nc, 0)]
+    pad_v = [(0, 0)] * (ca.ndim - 1) + [(nc, 0)]
+    C_aug = jnp.pad(Ca, pad_m) + slew_blk
+    c_aug = jnp.pad(ca, pad_v)
+
+    if isinstance(dynamics, LinDx):
+        F = jnp.asarray(dynamics.F, dtype)
+        lead = F.shape[:-2]                       # [T-1] or [T-1, B]
+        # top rows pick u_t: [0_{nc x (ns+nc)} | I_nc]; bottom rows are
+        # [0_{ns x nc} | F]  (solver._augment_slew / mpc/mpc.py:380-390)
+        F0 = jnp.concatenate(
+            [jnp.zeros((nc, ns + nc), dtype), eyec], axis=1)
+        F0 = jnp.broadcast_to(F0, lead + (nc, naug))
+        F1 = jnp.concatenate(
+            [jnp.zeros(lead + (ns, nc), dtype), F], axis=-1)
+        F_aug = jnp.concatenate([F0, F1], axis=-2)
+        if dynamics.f is not None:
+            f = jnp.asarray(dynamics.f, dtype)
+            f_aug = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + [(nc, 0)])
+        else:
+            f_aug = None
+        dyn_aug = LinDx(F_aug, f_aug)
+    else:
+        dyn_aug = _SlewSoA(dynamics, nc)
+
+    if prev_ctrl is None:
+        prev_u = jnp.zeros((B, nc), dtype)
+    else:
+        prev_u = jnp.broadcast_to(
+            jnp.asarray(prev_ctrl, dtype), (B, nc))
+    x_init_aug = jnp.concatenate([prev_u, jnp.asarray(x_init, dtype)], 1)
+
+    cfg_aug = dataclasses.replace(cfg, n_state=ns + nc,
+                                  slew_rate_penalty=None)
+    sol = fused_batched_solve(
+        cfg_aug, x_init_aug, QuadCost(C_aug, c_aug), dyn_aug,
+        u_init=u_init, u_lower=u_lower, u_upper=u_upper,
+        u_zero_I=u_zero_I, interpret=interpret)
+    # strip the (u_{t-1}) part of the augmented state (mpc/mpc.py:444)
+    return sol._replace(x=sol.x[:, :, nc:])
 
 
 def _vmem(block, gaxis):

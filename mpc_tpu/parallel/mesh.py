@@ -54,7 +54,33 @@ def shard_batch(tree, mesh: Mesh, batch_axis_by_rank=None,
         lambda a: jax.device_put(jnp.asarray(a), spec_for(a)), tree)
 
 
-_SHARDED_CACHE = {}
+from collections import OrderedDict
+
+_SHARDED_CACHE = OrderedDict()
+_SHARDED_CACHE_MAX = 128
+
+
+def _as_static_scalar(v):
+    """float(v) when ``v`` is a concrete 0-d value (python number, numpy
+    scalar, 0-d array); None for arrays and tracers."""
+    if v is None or isinstance(v, jax.core.Tracer):
+        return None
+    try:
+        if jnp.ndim(v) == 0:
+            return float(v)
+    except TypeError:
+        pass
+    return None
+
+
+def _pytree_operands(obj):
+    """(leaves, treedef) when ``obj`` is a data pytree (all leaves are
+    arrays/scalars, e.g. a registered model like PendulumDx); None for
+    plain callables (their own leaf), which must be closed over."""
+    leaves, treedef = jax.tree_util.tree_flatten(obj)
+    if any(l is obj for l in leaves):
+        return None
+    return [jnp.asarray(l) for l in leaves], treedef
 
 
 def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
@@ -110,37 +136,74 @@ def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
         add('F', dynamics.F, batch_ax(dynamics.F, 4))
         if dynamics.f is not None:
             add('f', dynamics.f, batch_ax(dynamics.f, 3))
+    # non-QuadCost / non-LinDx data pytrees (registered models with array
+    # params, e.g. PendulumDx) pass their leaves as replicated operands,
+    # so in-place param updates are never frozen into a cached program;
+    # only plain callables are closed over (and must stay immutable)
+    cost_tree = None if is_qc else _pytree_operands(cost)
+    dyn_tree = None if is_lin else _pytree_operands(dynamics)
+    if cost_tree is not None:
+        for i, leaf in enumerate(cost_tree[0]):
+            add(f'cost_leaf{i}', leaf, None)
+    if dyn_tree is not None:
+        for i, leaf in enumerate(dyn_tree[0]):
+            add(f'dyn_leaf{i}', leaf, None)
     if u_init is not None:
         add('u_init', u_init, batch_ax(u_init, 3))
-    # python-number bounds become static closure constants (no per-call
-    # host->device transfer - through a tunneled runtime each tiny
-    # transfer costs ~ms); array bounds are operands
-    static_bounds = (u_lower is not None
-                     and isinstance(u_lower, (int, float))
-                     and isinstance(u_upper, (int, float)))
+    # concrete scalar bounds (python numbers, numpy scalars, 0-d arrays)
+    # become static closure constants (no per-call host->device transfer
+    # - through a tunneled runtime each tiny transfer costs ~ms); array
+    # bounds are operands
+    lb_static = _as_static_scalar(u_lower)
+    ub_static = _as_static_scalar(u_upper)
+    static_bounds = lb_static is not None and ub_static is not None
     if u_lower is not None and not static_bounds:
         add('lb', u_lower, batch_ax(u_lower, 3))
         add('ub', u_upper, batch_ax(u_upper, 3))
 
-    cost_key = None if is_qc else id(cost)
-    dyn_key = None if is_lin else id(dynamics)
-    bounds_key = (float(u_lower), float(u_upper)) if static_bounds else None
+    if cost_tree is not None:
+        cost_key = ('tree', cost_tree[1])
+    else:
+        cost_key = None if is_qc else id(cost)
+    if dyn_tree is not None:
+        dyn_key = ('tree', dyn_tree[1])
+    else:
+        dyn_key = None if is_lin else id(dynamics)
+    bounds_key = (lb_static, ub_static) if static_bounds else None
     # include each operand's rank: the in_specs depend on whether an
     # operand is batched or batch-shared, so layouts must not collide
     shape_key = tuple((name, operands[i].ndim)
                       for name, i in sorted(slots.items()))
     key = (cfg, mesh, axis_name, shape_key, cost_key, dyn_key, bounds_key)
     if key in _SHARDED_CACHE:
+        _SHARDED_CACHE.move_to_end(key)
         return _SHARDED_CACHE[key][0](*operands)
+
+    n_cost_leaves = len(cost_tree[0]) if cost_tree is not None else 0
+    n_dyn_leaves = len(dyn_tree[0]) if dyn_tree is not None else 0
 
     def local(*arrs):
         def pick(name):
             return arrs[slots[name]] if name in slots else None
 
-        cost_l = QuadCost(pick('C'), pick('c')) if is_qc else cost
-        dyn_l = LinDx(pick('F'), pick('f')) if is_lin else dynamics
-        lb_l = u_lower if static_bounds else pick('lb')
-        ub_l = u_upper if static_bounds else pick('ub')
+        if is_qc:
+            cost_l = QuadCost(pick('C'), pick('c'))
+        elif cost_tree is not None:
+            cost_l = jax.tree_util.tree_unflatten(
+                cost_tree[1],
+                [pick(f'cost_leaf{i}') for i in range(n_cost_leaves)])
+        else:
+            cost_l = cost
+        if is_lin:
+            dyn_l = LinDx(pick('F'), pick('f'))
+        elif dyn_tree is not None:
+            dyn_l = jax.tree_util.tree_unflatten(
+                dyn_tree[1],
+                [pick(f'dyn_leaf{i}') for i in range(n_dyn_leaves)])
+        else:
+            dyn_l = dynamics
+        lb_l = lb_static if static_bounds else pick('lb')
+        ub_l = ub_static if static_bounds else pick('ub')
         return batched_solve(
             cfg, arrs[0], cost_l, dyn_l,
             u_init=pick('u_init'),
@@ -150,13 +213,17 @@ def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
         x=P(None, axis_name), u=P(None, axis_name),
         costs=P(axis_name), full_du_norm=P(axis_name),
         n_iter=P(axis_name), n_qp_iter=P(axis_name),
-        converged=P(axis_name), mean_alpha=P(axis_name))
+        converged=P(axis_name), alpha=P(axis_name))
 
     # check_vma=False: Pallas kernel outputs carry no varying-mesh-axes
     # metadata, and the local solve is per-shard independent anyway
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=tuple(specs), out_specs=out_specs,
         check_vma=False))
-    # keep cost/dynamics referenced so their ids stay valid for the key
+    # keep cost/dynamics referenced so their ids stay valid for the key;
+    # bound the cache (fresh closure callables would otherwise pin
+    # entries forever)
     _SHARDED_CACHE[key] = (fn, cost, dynamics)
+    if len(_SHARDED_CACHE) > _SHARDED_CACHE_MAX:
+        _SHARDED_CACHE.popitem(last=False)
     return fn(*operands)

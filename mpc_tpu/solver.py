@@ -223,11 +223,9 @@ def _augment_slew(cfg: MPCConfig, C, c, F, f, x_init, x, u,
     if isinstance(cost, QuadCost) or isinstance(cost, tuple):
         true_cost = (_C, _c)
     else:
-        slew0 = slew_C[0]
-
-        def true_cost(tau):
-            # SlewRateCost wrapper (reference mpc/mpc.py:36-52)
-            return cost(tau[nc:]) + 0.5 * (tau @ slew0 @ tau)
+        # the public SlewRateCost wrapper (reference mpc/mpc.py:36-52)
+        from .mpc import SlewRateCost
+        true_cost = SlewRateCost(cost, slew_C[0], ns, nc)
 
     return _SlewProblem(_C, _c, _F, _f, _x_init, _x, true_cost, true_dynamics)
 
@@ -257,6 +255,7 @@ def _subproblem_step(cfg: MPCConfig, x_init, C, c, F, f, x, u,
             max_linesearch_iter=cfg.max_linesearch_iter,
             pnqp_iter=cfg.pnqp_iter,
             parallel_linesearch=cfg.parallel_linesearch,
+            parallel_riccati=cfg.parallel_riccati,
             unroll=cfg.scan_unroll)
         return fwd, n_qp
 
@@ -272,6 +271,7 @@ def _subproblem_step(cfg: MPCConfig, x_init, C, c, F, f, x, u,
         max_linesearch_iter=cfg.max_linesearch_iter,
         pnqp_iter=cfg.pnqp_iter,
         parallel_linesearch=cfg.parallel_linesearch,
+        parallel_riccati=cfg.parallel_riccati,
         unroll=cfg.scan_unroll)
     # strip the (u_{t-1}) part of the augmented state (reference mpc/mpc.py:444)
     fwd = fwd._replace(new_x=fwd.new_x[:, cfg.n_ctrl:])
@@ -440,7 +440,7 @@ def _solve_single(cfg: MPCConfig, x_init, cost, dynamics,
         x=x, u=u, costs=out.best_cost,
         full_du_norm=out.best_du_norm,
         n_iter=out.i, n_qp_iter=out.n_qp_total,
-        converged=converged, mean_alpha=out.alpha)
+        converged=converged, alpha=out.alpha)
 
 
 def fixed_point_phase(cfg: MPCConfig, x_init, cost, dynamics,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 
@@ -60,7 +60,10 @@ class Solution(NamedTuple):
     n_iter: jax.Array       # iLQR iterations performed
     n_qp_iter: jax.Array    # total PNQP iterations
     converged: jax.Array    # bool: full_du_norm < eps
-    mean_alpha: jax.Array   # last accepted line-search step
+    # per-example accepted line-search step size, after the reference's
+    # over-decay correction (mpc/lqr_step.py:247-252); the reference's
+    # scalar ``mean_alphas`` diagnostic is ``alpha.mean()`` over the batch
+    alpha: jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,11 +111,16 @@ class MPCConfig:
     # (bang-bang switching times flip); 'float32' forces full-precision
     # passes (SURVEY.md section 7 risk list).
     matmul_precision: str = 'float32'
-    # run the exact LQR solves (the differentiable fixed point's forward
-    # and its KKT backward) via the O(log T)-depth associative-scan
-    # Riccati (ops/pscan.py) instead of the sequential scan - identical
-    # results, much faster for long horizons.
-    parallel_riccati: bool = False
+    # O(log T)-depth associative-scan Riccati (ops/pscan.py) for the
+    # exact LQR solves (the differentiable fixed point + KKT backward)
+    # AND the unconstrained phase-1 subproblem gains.  False = always
+    # sequential; True = always parallel; 'auto' = parallel when
+    # T >= 128 (the measured crossover).  Constrained (box QP) steps
+    # always run sequentially.  Exact to ~1e-12 in float64; the f32
+    # combines are partially pivoted (ops/pscan.py:_lsolve) but long
+    # products can still lose ~1e-4 on ill-conditioned problems, so
+    # prefer f64 for oracle work.
+    parallel_riccati: Any = False
 
     def __post_init__(self):
         assert self.max_linesearch_iter > 0

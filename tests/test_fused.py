@@ -56,8 +56,8 @@ def _compare(cfg, dx, x0, C, c, lb, ub, atol=2e-5):
                                atol=atol)
     np.testing.assert_allclose(np.asarray(ref.costs), np.asarray(fus.costs),
                                atol=1e-4)
-    np.testing.assert_allclose(np.asarray(ref.mean_alpha),
-                               np.asarray(fus.mean_alpha), atol=0)
+    np.testing.assert_allclose(np.asarray(ref.alpha),
+                               np.asarray(fus.alpha), atol=0)
     np.testing.assert_array_equal(np.asarray(ref.n_iter),
                                   np.asarray(fus.n_iter))
     np.testing.assert_array_equal(np.asarray(ref.n_qp_iter),
@@ -114,7 +114,7 @@ def _lindx_problem(B, T, ns, nc, seed=0):
 
 
 def _compare_uxc(cfg, x0, cost, dyn, lb, ub, atol):
-    """u/x/costs parity jnp-vs-fused; mean_alpha is excluded: at float32
+    """u/x/costs parity jnp-vs-fused; alpha is excluded: at float32
     cost ties with a ~zero step the selected alpha is arbitrary (the
     trajectories still match)."""
     ref = batched_solve(cfg, x0, cost, dyn, u_lower=lb, u_upper=ub)
@@ -162,10 +162,139 @@ def test_supports_gates():
     dx, x0, C, c, lb, ub = _problem(B=8, T=T, bounded=True)
     cfg = _cfg(T)
     assert supports(cfg, QuadCost(C, c), dx)
-    # out of scope: backprop, non-SoA dynamics, f64, u_zero_I
+    # out of scope: backprop, non-SoA dynamics, f64
     assert not supports(dataclasses.replace(cfg, backprop=True),
                         QuadCost(C, c), dx)
     assert not supports(cfg, QuadCost(C, c), lambda x, u: x)
     assert not supports(cfg, QuadCost(C, c), dx, dtype=jnp.float64)
-    assert not supports(cfg, QuadCost(C, c), dx,
-                        u_zero_I=jnp.zeros((T, 8, 1), bool))
+    # in scope since round 2: u_zero_I, slew-rate penalty
+    assert supports(cfg, QuadCost(C, c), dx,
+                    u_zero_I=jnp.zeros((T, 8, 1), bool))
+    assert supports(dataclasses.replace(cfg, slew_rate_penalty=1.0),
+                    QuadCost(C, c), dx)
+
+
+def _batched(cfg, dx, x0, C, c, lb, ub, uz=None, pc=None):
+    return batched_solve(cfg, x0, QuadCost(C, c), dx, u_lower=lb,
+                         u_upper=ub, u_zero_I=uz, prev_ctrl=pc)
+
+
+def _fused(cfg, dx, x0, C, c, lb, ub, uz=None, pc=None):
+    return fused_batched_solve(cfg, x0, QuadCost(C, c), dx, u_lower=lb,
+                               u_upper=ub, u_zero_I=uz, prev_ctrl=pc,
+                               interpret=True)
+
+
+def test_fused_u_zero_I_unbounded():
+    """Shared [T, n_ctrl] zero-pin mask, no bounds: in-kernel masked
+    free-subspace solve must match the jnp path and pin exactly."""
+    T = 4
+    dx, x0, C, c, _, _ = _problem(B=8, T=T, bounded=False)
+    uz = np.zeros((T, 1), bool)
+    uz[1, 0] = True
+    uz = jnp.asarray(uz)
+    cfg = _cfg(T)
+    ref = _batched(cfg, dx, x0, C, c, None, None, uz=uz)
+    fus = _fused(cfg, dx, x0, C, c, None, None, uz=uz)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.x), np.asarray(fus.x),
+                               atol=2e-5)
+    assert float(jnp.max(jnp.abs(fus.u[1]))) == 0.0
+
+
+def test_fused_u_zero_I_bounded_batched():
+    """Per-example [T, B, n_ctrl] masks with box bounds: mask applies in
+    the rollout (the reference's lqr_forward order, zero then clamp)."""
+    T = 5
+    B = 16
+    dx, x0, C, c, lb, ub = _problem(B=B, T=T, bounded=True)
+    rng = np.random.RandomState(3)
+    uz = jnp.asarray(rng.rand(T, B, 1) < 0.3)
+    cfg = _cfg(T)
+    ref = _batched(cfg, dx, x0, C, c, lb, ub, uz=uz)
+    fus = _fused(cfg, dx, x0, C, c, lb, ub, uz=uz)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.costs),
+                               np.asarray(fus.costs), atol=1e-4)
+    assert float(jnp.max(jnp.abs(np.asarray(fus.u)[np.asarray(uz)]))) == 0.0
+
+
+def test_fused_u_zero_I_multictrl():
+    """n_ctrl=4 LinDx, unconstrained, shared mask: masked Cholesky."""
+    from mpc_tpu import LinDx
+    B, T, ns, nc = 16, 4, 3, 4
+    C, c, F, f, x0, _, _ = _lindx_problem(B, T, ns, nc)
+    uz = np.zeros((T, nc), bool)
+    uz[0, 1] = uz[2, 3] = True
+    uz = jnp.asarray(uz)
+    cfg = dataclasses.replace(_cfg(T), n_state=ns, n_ctrl=nc)
+    ref = _batched(cfg, LinDx(F, f), x0, C, c, None, None, uz=uz)
+    fus = _fused(cfg, LinDx(F, f), x0, C, c, None, None, uz=uz)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=5e-4)
+    assert float(jnp.max(jnp.abs(fus.u[0, :, 1]))) == 0.0
+    assert float(jnp.max(jnp.abs(fus.u[2, :, 3]))) == 0.0
+
+
+def test_fused_slew_rate_soa():
+    """Slew-rate penalty via host-side augmentation + SoA passthrough:
+    must match the jnp solver's _augment_slew path, incl. prev_ctrl."""
+    T = 5
+    B = 8
+    dx, x0, C, c, lb, ub = _problem(B=B, T=T, bounded=True)
+    pc = jnp.asarray(0.5 * np.ones((B, 1), np.float32))
+    cfg = dataclasses.replace(_cfg(T), slew_rate_penalty=1.0)
+    ref = _batched(cfg, dx, x0, C, c, lb, ub, pc=pc)
+    fus = _fused(cfg, dx, x0, C, c, lb, ub, pc=pc)
+    # 5e-4: the kernel linearizes the *augmented* SoA step while the jnp
+    # path linearizes the true dynamics and augments symbolically -
+    # identical math, different f32 op order
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ref.x), np.asarray(fus.x),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ref.costs),
+                               np.asarray(fus.costs), atol=1e-3)
+
+
+def test_fused_long_horizon_t256():
+    """T=256 > 128 dispatches the fori-loop long-horizon kernel
+    (_make_kernel_long): equivalence with the jnp path at a long
+    horizon.  f32 tolerances are looser: 256 Euler steps of the
+    pendulum amplify reassociation differences."""
+    T = 256
+    dx, x0, C, c, lb, ub = _problem(B=8, T=T, bounded=True)
+    cfg = _cfg(T, lqr_iter=1, max_linesearch_iter=2)
+    ref = _batched(cfg, dx, x0, C[0, 0], c[0, 0], -2.0, 2.0)
+    fus = _fused(cfg, dx, x0, C[0, 0], c[0, 0], jnp.float32(-2.0),
+                 jnp.float32(2.0))
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=2e-3)
+    # costs sum 256 f32 stage terms in different orders: rtol-dominated
+    np.testing.assert_allclose(np.asarray(ref.costs),
+                               np.asarray(fus.costs), rtol=1e-3,
+                               atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(ref.n_iter),
+                                  np.asarray(fus.n_iter))
+    np.testing.assert_allclose(np.asarray(ref.alpha),
+                               np.asarray(fus.alpha), atol=0)
+
+
+def test_fused_slew_rate_lindx():
+    """Slew-rate penalty with (batch-shared) LinDx dynamics: augmented
+    LinDx stays on the SMEM path."""
+    from mpc_tpu import LinDx
+    B, T, ns, nc = 8, 4, 3, 2
+    C, c, F, f, x0, lb, ub = _lindx_problem(B, T, ns, nc, seed=5)
+    cfg = dataclasses.replace(_cfg(T), n_state=ns, n_ctrl=nc,
+                              slew_rate_penalty=0.7)
+    ref = _batched(cfg, LinDx(F[:, 0], f[:, 0]), x0, C[:, 0], c[:, 0],
+                   None, None)
+    fus = _fused(cfg, LinDx(F[:, 0], f[:, 0]), x0, C[:, 0], c[:, 0],
+                 None, None)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ref.x), np.asarray(fus.x),
+                               atol=5e-4)
