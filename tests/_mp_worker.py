@@ -1,0 +1,132 @@
+"""Worker for the 2-process multi-host test (tests/test_multiprocess.py).
+
+Each process owns 2 virtual CPU devices; together they form the
+(2 hosts x 2 chips) pod mesh of mpc_tpu.parallel.distributed.  The
+worker checks the two multi-host code paths of the framework:
+
+  1. a globally-sharded batched MPC solve (embarrassingly parallel,
+     zero collectives) matches a process-local full-batch reference;
+  2. an imitation-learning loss/grad step whose mean-loss gradient
+     forces XLA to insert the cross-process (DCN-analog) reduction -
+     both processes must produce identical, correct gradients.
+
+Prints machine-checkable lines; the parent asserts they agree.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+
+    from mpc_tpu.parallel import distributed as dist
+
+    dist.initialize(coordinator_address=f'localhost:{port}',
+                    num_processes=2, process_id=pid)
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 4
+
+    mesh = dist.make_pod_mesh()
+    assert mesh.devices.shape == (2, 2)
+
+    from mpc_tpu import GradMethods, MPCConfig, QuadCost
+    from mpc_tpu.learning import batched_solve, imitation_loss
+    from mpc_tpu.models import PendulumDx
+
+    B_global, T = 8, 5
+    B_local = B_global // 2
+    dtype = jnp.float32
+    dx = PendulumDx(params=jnp.array([10., 1., 1.], dtype))
+    rng = np.random.RandomState(0)
+    th = np.pi * (2 * rng.rand(B_global) - 1)
+    x0_full = np.stack([np.cos(th), np.sin(th), np.zeros(B_global)],
+                       1).astype(np.float32)
+    u_expert_full = rng.randn(T, B_global, 1).astype(np.float32)
+    q, p = dx.get_true_obj()
+    C = jnp.diag(q).astype(dtype)
+    c = jnp.asarray(p, dtype)
+
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=2,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=2)
+
+    # ---- path 1: globally-sharded solve --------------------------------
+    lo, hi = pid * B_local, (pid + 1) * B_local
+    x0_g = dist.shard_global_batch(x0_full[lo:hi], mesh)
+    with jax.sharding.set_mesh(mesh):
+        sol = jax.jit(lambda x: batched_solve(
+            cfg, x, QuadCost(C, c), dx, u_lower=-2.0, u_upper=2.0))(x0_g)
+        u_g = sol.u
+
+    # process-local full-batch reference (plain single-device solve)
+    ref = batched_solve(cfg, jnp.asarray(x0_full), QuadCost(C, c), dx,
+                        u_lower=-2.0, u_upper=2.0)
+    ref_u = np.asarray(ref.u)
+
+    err = 0.0
+    for shard in u_g.addressable_shards:
+        sl = shard.index[1]          # u is [T, B, n_ctrl], batch axis 1
+        err = max(err, float(np.max(np.abs(
+            np.asarray(shard.data) - ref_u[:, sl]))))
+    print(f'SOLVE_ERR {err:.3e}', flush=True)
+
+    # ---- path 2: gradient through the solver with cross-process psum ---
+    cfg_bp = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=2,
+                       grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                       exit_unconverged=False, detach_unconverged=False,
+                       backprop=True, linesearch_decay=0.2,
+                       max_linesearch_iter=2)
+    theta0 = {'c': c}
+
+    def make_cost(theta):
+        return QuadCost(C, theta['c'])
+
+    def make_dynamics(theta):
+        return dx
+
+    ue_g = dist.shard_global_batch(
+        u_expert_full[:, lo:hi], mesh, batch_axis_by_rank={3: 1})
+    theta_g = dist.replicate(theta0, mesh)
+
+    with jax.sharding.set_mesh(mesh):
+        loss, grads = jax.jit(jax.value_and_grad(
+            lambda th, x, ue: imitation_loss(
+                th, cfg_bp, x, ue, make_cost, make_dynamics,
+                u_lower=-2.0, u_upper=2.0)))(theta_g, x0_g, ue_g)
+        loss = float(loss)
+        gvec = np.asarray(
+            jax.device_get(grads['c'])).astype(np.float64).ravel()
+
+    # single-process reference gradient over the full batch
+    ref_loss, ref_grads = jax.value_and_grad(
+        lambda th: imitation_loss(
+            th, cfg_bp, jnp.asarray(x0_full), jnp.asarray(u_expert_full),
+            make_cost, make_dynamics, u_lower=-2.0, u_upper=2.0))(theta0)
+    gerr = float(np.max(np.abs(
+        gvec - np.asarray(ref_grads['c'], np.float64).ravel())))
+    lerr = abs(loss - float(ref_loss))
+    print(f'LOSS {loss:.10e}', flush=True)
+    print(f'GRAD_SUM {float(np.sum(gvec)):.10e}', flush=True)
+    print(f'LOSS_ERR {lerr:.3e}', flush=True)
+    print(f'GRAD_ERR {gerr:.3e}', flush=True)
+    print('WORKER_OK', flush=True)
+
+
+if __name__ == '__main__':
+    main()
