@@ -116,9 +116,8 @@ def riccati_backward(
                 else:
                     # reference uses per-example pinverse for robustness to
                     # semidefinite Q_uu (mpc/lqr_step.py:89-94)
-                    Quu_pinv = jnp.linalg.pinv(Quu)
-                    Kt = -(Quu_pinv @ Qux)
-                    kt = -(Quu_pinv @ qu)
+                    Kt = -linalg.solve_psd_pinv(Quu, Qux)
+                    kt = -linalg.solve_psd_pinv(Quu, qu)
             else:
                 # zero-clamped controls (reference mpc/lqr_step.py:99-127);
                 # the masked system block-decouples, so clamped rows of K/k
@@ -350,6 +349,7 @@ def lqr_step_delta(
     max_linesearch_iter: int = 10,
     pnqp_iter: int = 20,
     parallel_linesearch: bool = True,
+    parallel_riccati=False,
     unroll: int = 1,
 ):
     """One full LQR step in delta space: Riccati + line-searched rollout.
@@ -359,15 +359,29 @@ def lqr_step_delta(
     the current trajectory (c_back = C_t @ xu_t + c_t,
     mpc/lqr_step.py:284-295), run the Riccati recursion on the
     quadratized model, then roll out with the true cost/dynamics.
+
+    ``parallel_riccati``: False / True / 'auto'.  For *unconstrained*
+    steps, True (or 'auto' with T >= 128) computes the gains with the
+    O(log T)-depth associative-scan Riccati (ops/pscan.py) instead of
+    the sequential scan; constrained steps always run sequentially (the
+    per-step box QP is not an associative operator).
     """
+    T = c.shape[0]
     tau = jnp.concatenate([x, u], axis=1)
     c_back = jnp.einsum('tij,tj->ti', C, tau) + c
 
-    back = riccati_backward(
-        C, c_back, F, u, n_state=n_state,
-        u_lower=u_lower, u_upper=u_upper,
-        u_zero_I=u_zero_I, delta_u=delta_u,
-        pnqp_iter=pnqp_iter, unroll=unroll)
+    use_parallel = (parallel_riccati is True
+                    or (parallel_riccati == 'auto' and T >= 128))
+    if use_parallel and u_lower is None and u_zero_I is None:
+        from .pscan import parallel_riccati_gains
+        K, k = parallel_riccati_gains(C, c_back, F, None, n_state)
+        back = RiccatiOut(K, k, jnp.asarray(0, jnp.int32))
+    else:
+        back = riccati_backward(
+            C, c_back, F, u, n_state=n_state,
+            u_lower=u_lower, u_upper=u_upper,
+            u_zero_I=u_zero_I, delta_u=delta_u,
+            pnqp_iter=pnqp_iter, unroll=unroll)
 
     fwd = lqr_forward(
         x_init, x, u, back.K, back.k,
@@ -399,7 +413,10 @@ def lqr_solve(C, c, F, f, x_init, u_zero_I=None,
     reference's backward is not.
 
     Returns (x, u) trajectories of shape [T, n_state], [T, n_ctrl].
+    ``parallel`` may be False / True / 'auto' (parallel when T >= 128).
     """
+    if parallel == 'auto':
+        parallel = c.shape[0] >= 128
     if parallel:
         from .pscan import parallel_lqr_solve
         return parallel_lqr_solve(C, c, F, f, x_init,

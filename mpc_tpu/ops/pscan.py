@@ -134,12 +134,31 @@ def _lT(A):
     return [[A[j][i] for j in range(len(A))] for i in range(len(A[0]))]
 
 
-def _lsolve(M, R):
-    """Unrolled Gaussian elimination (no pivoting) on list-matrices."""
+def _lsolve(M, R, pivot: bool = True):
+    """Unrolled Gaussian elimination on list-matrices.
+
+    With ``pivot`` (the default), per-lane partial pivoting: at each
+    elimination column the remaining rows are tournament-compared and
+    elementwise-swapped so every lane eliminates against its own largest
+    pivot - ~2x the select traffic of the unpivoted path, but removes
+    the f32 blow-ups on ill-conditioned combines (the round-1 weakness:
+    ~1e-2 error on adversarial f32 problems without pivoting).
+    """
     n, m = len(M), len(R[0])
     A = [row[:] for row in M]
     B = [row[:] for row in R]
     for k in range(n):
+        if pivot:
+            for i in range(k + 1, n):
+                sw = jnp.abs(A[i][k]) > jnp.abs(A[k][k])
+                for j in range(k, n):
+                    ak, ai = A[k][j], A[i][j]
+                    A[k][j] = jnp.where(sw, ai, ak)
+                    A[i][j] = jnp.where(sw, ak, ai)
+                for j in range(m):
+                    bk, bi = B[k][j], B[i][j]
+                    B[k][j] = jnp.where(sw, bi, bk)
+                    B[i][j] = jnp.where(sw, bk, bi)
         inv = 1.0 / A[k][k]
         for i in range(k + 1, n):
             fac = A[i][k] * inv
@@ -278,18 +297,20 @@ def _value_functions(C, c, F, f, n_state, u_zero_I=None):
     return out.J, out.eta                     # [T, ns, ns], [T, ns]
 
 
-def parallel_lqr_solve(C, c, F, f, x_init, u_zero_I=None, n_state=None):
-    """Exact unconstrained LQR solve at O(log T) depth.
+def parallel_riccati_gains(C, c, F, f=None, n_state=None, u_zero_I=None):
+    """Per-step LQR feedback gains (K_t, k_t) at O(log T) depth.
 
-    Drop-in for ops/lqr.lqr_solve (same signature/semantics): minimizes
-    sum_t 0.5 z_t^T C_t z_t + c_t^T z_t over the linear dynamics, with
-    optional zero-pinned controls; returns (x, u) [T, ns] / [T, nc].
+    The parallel analog of ``ops/lqr.riccati_backward`` for the
+    unconstrained (optionally zero-pinned) case: all cost-to-go
+    functions come from one reverse associative scan, then every step's
+    gains follow independently.  ``c`` has the same meaning as in
+    ``riccati_backward`` (pass the delta-space recentred linear term for
+    an iLQR subproblem step).  Returns (K [T, nc, ns], k [T, nc]).
     """
     T, n_tau = c.shape
     if n_state is None:
         n_state = F.shape[1]
     ns = n_state
-    nc = n_tau - ns
     dtype = C.dtype
 
     J, eta = _value_functions(C, c, F, f, ns, u_zero_I)
@@ -323,6 +344,31 @@ def parallel_lqr_solve(C, c, F, f, x_init, u_zero_I=None, n_state=None):
     k_last = -KH_last[..., ns]
     K = jnp.concatenate([K, K_last], 0)
     kff = jnp.concatenate([kff, k_last], 0)
+    return K, kff
+
+
+def parallel_lqr_solve(C, c, F, f, x_init, u_zero_I=None, n_state=None):
+    """Exact unconstrained LQR solve at O(log T) depth.
+
+    Drop-in for ops/lqr.lqr_solve (same signature/semantics): minimizes
+    sum_t 0.5 z_t^T C_t z_t + c_t^T z_t over the linear dynamics, with
+    optional zero-pinned controls; returns (x, u) [T, ns] / [T, nc].
+    """
+    T, n_tau = c.shape
+    if n_state is None:
+        n_state = F.shape[1]
+    ns = n_state
+    nc = n_tau - ns
+    dtype = C.dtype
+
+    K, kff = parallel_riccati_gains(C, c, F, f, ns, u_zero_I)
+
+    free = None if u_zero_I is None else (~u_zero_I).astype(dtype)
+    A_dyn = F[:, :, :ns]
+    B_dyn = F[:, :, ns:]
+    if free is not None:
+        B_dyn = B_dyn * free[:-1, None, :]
+    d_dyn = f if f is not None else jnp.zeros((T - 1, ns), dtype)
 
     # closed-loop affine rollout x_{t+1} = M_t x_t + v_t as a second
     # associative scan over affine-map composition

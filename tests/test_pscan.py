@@ -105,3 +105,68 @@ def test_parallel_riccati_gradients():
     g_par = make_loss(dataclasses.replace(cfg, parallel_riccati=True))(
         jnp.asarray(p))
     npt.assert_allclose(np.asarray(g_par), np.asarray(g_seq), atol=1e-9)
+
+
+def test_parallel_gains_match_sequential():
+    """parallel_riccati_gains (the phase-1 consumer) must reproduce the
+    sequential riccati_backward gains exactly (unconstrained)."""
+    from mpc_tpu.ops.lqr import riccati_backward
+    from mpc_tpu.ops.pscan import parallel_riccati_gains
+
+    for (T, ns, nc) in [(5, 3, 1), (33, 3, 2), (130, 4, 3)]:
+        C, c, F, f, x0 = _problem(T, ns, nc, seed=11 + T)
+        u0 = jnp.zeros((T, nc), C.dtype)
+        back = riccati_backward(C, c, F, u0, n_state=ns)
+        Kp, kp = parallel_riccati_gains(C, c, F, None, ns)
+        npt.assert_allclose(np.asarray(Kp), np.asarray(back.K),
+                            atol=1e-9)
+        npt.assert_allclose(np.asarray(kp), np.asarray(back.k),
+                            atol=1e-9)
+
+
+def test_solver_parallel_riccati_phase1():
+    """A full unconstrained iLQR solve with parallel_riccati=True (and
+    'auto') must match the sequential solver."""
+    import dataclasses
+
+    from mpc_tpu import GradMethods, MPCConfig, QuadCost, LinDx
+    from mpc_tpu.learning import batched_solve
+
+    T, ns, nc, B = 12, 3, 2, 4
+    rng = np.random.RandomState(2)
+    C, c, F, f, _ = _problem(T, ns, nc, seed=2)
+    x0 = jnp.asarray(rng.randn(B, ns))
+    cfg = MPCConfig(n_state=ns, n_ctrl=nc, T=T, lqr_iter=3,
+                    grad_method=GradMethods.ANALYTIC, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=3, use_fused='never')
+    ref = batched_solve(cfg, x0, QuadCost(C, c), LinDx(F, f))
+    par = batched_solve(dataclasses.replace(cfg, parallel_riccati=True),
+                        x0, QuadCost(C, c), LinDx(F, f))
+    npt.assert_allclose(np.asarray(par.u), np.asarray(ref.u), atol=1e-9)
+    npt.assert_allclose(np.asarray(par.x), np.asarray(ref.x), atol=1e-9)
+    # 'auto' at T < 128 stays sequential and must be identical
+    aut = batched_solve(
+        dataclasses.replace(cfg, parallel_riccati='auto'),
+        x0, QuadCost(C, c), LinDx(F, f))
+    npt.assert_allclose(np.asarray(aut.u), np.asarray(ref.u), atol=0)
+
+
+def test_lsolve_partial_pivoting_f32():
+    """The pivoted unrolled solver must stay accurate on systems whose
+    natural pivot order is degenerate in f32 (round-1 weakness: the
+    unpivoted path lost ~1e-2 on such problems)."""
+    from mpc_tpu.ops.pscan import _solve_small
+
+    rng = np.random.RandomState(0)
+    n = 5
+    M = rng.randn(64, n, n).astype(np.float32)
+    # make the leading pivots tiny so unpivoted elimination blows up
+    M[:, 0, 0] *= 1e-7
+    M[:, 1, 1] *= 1e-6
+    B = rng.randn(64, n, 3).astype(np.float32)
+    X = np.asarray(_solve_small(jnp.asarray(M), jnp.asarray(B)))
+    ref = np.linalg.solve(M.astype(np.float64), B.astype(np.float64))
+    err = np.max(np.abs(X - ref) / np.maximum(1.0, np.abs(ref)))
+    assert err < 1e-4, f'pivoted f32 solve rel err {err:.2e}'
