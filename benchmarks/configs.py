@@ -200,9 +200,173 @@ def bench_pod(B=16384, T=20):
                     f'shard_map)'}
 
 
+def bench_latency(Bs=(1, 16, 256), T=20, steps=64):
+    """Receding-horizon single-step solve LATENCY (the reference's
+    canonical workload: solve -> act -> shift warm start,
+    examples/gym_pendulum.py:87-107).
+
+    Unlike the throughput benches, the chain is DEPENDENT: each step's
+    x_init comes from the previous step's solution (first control
+    applied through the true dynamics) and the warm start is the
+    shifted previous controls, so steps serialize on-device and
+    total/steps is the true per-step latency with the tunnel round-trip
+    amortized (single final sync).
+    """
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu import MPCConfig, QuadCost, GradMethods
+    from mpc_tpu.learning import batched_solve
+    from mpc_tpu.models import PendulumDx
+
+    dtype = jnp.float32
+    dx = PendulumDx()
+    q, p = dx.get_true_obj()
+    C = jnp.diag(q).astype(dtype)
+    c = jnp.asarray(p, dtype)
+    out = []
+    for B in Bs:
+        cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=10,
+                        grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                        exit_unconverged=False, detach_unconverged=False,
+                        backprop=False, linesearch_decay=0.2,
+                        max_linesearch_iter=5)
+
+        @jax.jit
+        def env_step(x0, u_warm):
+            sol = batched_solve(cfg, x0, QuadCost(C, c), dx,
+                                u_init=u_warm, u_lower=-2.0, u_upper=2.0)
+            act = sol.u[0]
+            x_next = jax.vmap(dx)(x0, act)
+            u_shift = jnp.concatenate(
+                [sol.u[1:], jnp.zeros_like(sol.u[:1])], 0)
+            return x_next, u_shift
+
+        rng = np.random.RandomState(7)
+        th = np.pi * (2 * rng.rand(B) - 1)
+        x0 = jnp.asarray(np.stack(
+            [np.cos(th), np.sin(th), np.zeros(B)], 1), dtype)
+        u_warm = jnp.zeros((T, B, 1), dtype)
+        # warmup/compile
+        xw, uw = env_step(x0, u_warm)
+        jax.block_until_ready(xw)
+        t0 = time.perf_counter()
+        x, u = x0, u_warm
+        for _ in range(steps):
+            x, u = env_step(x, u)
+        jax.block_until_ready(x)
+        us = (time.perf_counter() - t0) / steps * 1e6
+        out.append({'metric': f'pendulum_mpc_latency_us_b{B}',
+                    'value': round(us, 1),
+                    'unit': f'us/step (B={B}, T={T}, lqr_iter=10, '
+                            'dependent chain, f32)'})
+    return out
+
+
+def solve_flops(ns, nc, T, lqr_iter, ls_iter, dyn_flops=40):
+    """Analytic FLOP count for ONE box-constrained iLQR solve (fused
+    kernel arithmetic; same algebra as the jnp path).
+
+    Counts multiply-adds as 2 FLOPs.  Per outer iteration:
+      * linearization: (T-1) JVP columns x (ns+nc) tangents;
+      * Riccati per t: W = V F (2 ns^2 ntau), Qt symmetric assembly
+        (ns (ntau^2+ntau)), qt (2 ns ntau), control solve (~closed-form
+        1-D or ~2/3 nc^3 + nc^2 ns Cholesky), V/v update
+        (~4 ns^2 nc + 2 ns nc^2 + 3 ns nc);
+      * line search: ls_iter rollouts x T x (gain apply 2 nc ns +
+        dynamics dyn_flops + cost (ntau^2 + 3 ntau)).
+    """
+    ntau = ns + nc
+    lin = (T - 1) * ntau * dyn_flops
+    riccati_t = (2 * ns * ns * ntau + ns * (ntau * ntau + ntau)
+                 + 2 * ns * ntau
+                 + (4 if nc == 1 else (2 * nc ** 3 // 3
+                                       + 2 * nc * nc * ns))
+                 + 4 * ns * ns * nc + 2 * ns * nc * nc + 3 * ns * nc)
+    rollout_t = 2 * nc * ns + dyn_flops + ntau * ntau + 3 * ntau
+    per_iter = lin + T * riccati_t + ls_iter * T * rollout_t
+    return lqr_iter * per_iter
+
+
+# assumed VPU f32 peak for one v5e chip: 8x128 lanes x 2 FLOP/FMA x
+# ~1.74 GHz single-issue ~ 3.6 TFLOP/s (order-of-magnitude roofline
+# anchor for the solves/s numbers; the MXU's 197 TFLOP/s bf16 peak is
+# irrelevant here - the workload is elementwise lane arithmetic)
+VPU_F32_PEAK = 8 * 128 * 2 * 1.74e9
+
+
+def bench_flops_accounting(B=4096, T=20):
+    """Achieved FLOP/s + VPU-utilization estimate for the headline
+    pendulum config (answers 'is N solves/s actually good for one
+    chip')."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    import bench as headline
+    solves_per_sec, _ = headline.bench_pendulum(B=B, T=T, iters=66)
+    fl = solve_flops(3, 1, T, lqr_iter=10, ls_iter=5)
+    achieved = solves_per_sec * fl
+    return {'metric': 'pendulum_achieved_tflops',
+            'value': round(achieved / 1e12, 3),
+            'unit': (f'TFLOP/s ({fl} FLOP/solve x '
+                     f'{round(solves_per_sec):,} solves/s; '
+                     f'~{100 * achieved / VPU_F32_PEAK:.0f}% of assumed '
+                     f'{VPU_F32_PEAK / 1e12:.1f} TFLOP/s VPU f32 peak)')}
+
+
+def bench_long_horizon(B=16, T=512):
+    """Long-horizon solve: sequential-scan Riccati vs the O(log T)
+    associative-scan path (parallel_riccati) inside a FULL iLQR solve
+    (unconstrained pendulum tracking, jnp path - T=512 exceeds the
+    fused kernel's VMEM budget)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu import MPCConfig, QuadCost, GradMethods
+    from mpc_tpu.learning import batched_solve
+    from mpc_tpu.models import PendulumDx
+
+    dtype = jnp.float32
+    dx = PendulumDx()
+    rng = np.random.RandomState(9)
+    q, p = dx.get_true_obj()
+    C = jnp.diag(q).astype(dtype)
+    c = jnp.asarray(p, dtype)
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=5,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=3, use_fused='never')
+
+    def make(cfg_i):
+        return jax.jit(lambda x0: batched_solve(
+            cfg_i, x0, QuadCost(C, c), dx).u)
+
+    def x0s(n):
+        outs = []
+        for _ in range(n):
+            th = np.pi * (2 * rng.rand(B) - 1)
+            outs.append((jnp.asarray(np.stack(
+                [np.cos(th), np.sin(th), np.zeros(B)], 1), dtype),))
+        return outs
+
+    dt_seq = _time(make(cfg), x0s(18))
+    dt_par = _time(make(dataclasses.replace(cfg, parallel_riccati=True)),
+                   x0s(18))
+    return {'metric': 'long_horizon_pscan_speedup',
+            'value': round(dt_seq / dt_par, 2),
+            'unit': (f'x sequential (T={T}, B={B}, full solve: '
+                     f'{round(B / dt_seq, 1)} -> {round(B / dt_par, 1)} '
+                     'solves/s)')}
+
+
 def run_all_secondary():
-    for fn in [bench_tvlqr, bench_cartpole, bench_imitation, bench_pod]:
+    for fn in [bench_tvlqr, bench_cartpole, bench_imitation, bench_pod,
+               bench_long_horizon, bench_flops_accounting]:
         print(json.dumps(fn()))
+    for row in bench_latency():
+        print(json.dumps(row))
 
 
 if __name__ == '__main__':

@@ -220,3 +220,45 @@ def test_parity_pendulum_nonlinear():
                             u_lower=-2.0, u_upper=2.0)
         npt.assert_allclose(np.asarray(sol.u),
                             u_ref.detach().numpy(), atol=1e-6)
+
+
+def test_parity_pendulum_f32_bound():
+    """Pins the documented float32 parity bound vs the f64 reference
+    (BASELINE.md): f32 switch-step flips are isolated - the bulk of the
+    controls match to ~1e-5, at most a small tail exceeds 1e-3, and
+    nothing exceeds 5e-3.  (The unconditional <=1e-3 target holds in
+    f64 - the tests above; this pins the f32 behavior explicitly.)"""
+    n_batch, T = 32, 20
+    dx = PendulumDx(params=jnp.array([10., 1., 1.], jnp.float32))
+    tp = _RefTorchPendulum()
+
+    npr.seed(7)
+    th = np.pi * (2 * npr.random(n_batch) - 1)
+    x0 = np.stack([np.cos(th), np.sin(th), np.zeros(n_batch)], axis=1)
+    q, p = dx.get_true_obj()
+    Q = np.diag(np.asarray(q, np.float64))
+    pn = np.asarray(p, np.float64)
+
+    tt = lambda a: torch.tensor(a, dtype=torch.float64)
+    _, u_ref, _ = ref_mpc.MPC(
+        3, 1, T, -2.0, 2.0,
+        lqr_iter=10, backprop=False, exit_unconverged=False,
+        detach_unconverged=False, verbose=-1, n_batch=n_batch, eps=0.0,
+        grad_method=RefGradMethods.AUTO_DIFF,
+        linesearch_decay=0.2, max_linesearch_iter=5)(
+        tt(x0), RefQuadCost(tt(Q), tt(pn)), tp)
+
+    _, u, _ = MPC(3, 1, T, -2.0, 2.0,
+                  lqr_iter=10, backprop=False, exit_unconverged=False,
+                  detach_unconverged=False, n_batch=n_batch, eps=0.0,
+                  grad_method=GradMethods.AUTO_DIFF,
+                  linesearch_decay=0.2, max_linesearch_iter=5)(
+        jnp.asarray(x0, jnp.float32),
+        QuadCost(jnp.asarray(Q, jnp.float32), jnp.asarray(pn, jnp.float32)),
+        dx)
+
+    err = np.abs(u_ref.detach().numpy() - np.asarray(u, np.float64))
+    assert np.median(err) <= 1e-4, f'f32 bulk parity {np.median(err):.2e}'
+    assert np.mean(err > 1e-3) <= 0.02, \
+        f'f32 tail fraction {np.mean(err > 1e-3):.4f} > 2%'
+    assert err.max() <= 5e-3, f'f32 worst-case {err.max():.2e} > 5e-3'
