@@ -44,7 +44,7 @@ def _pendulum_inputs(B, T, dtype):
     return dx, x0, C, c, lb, ub
 
 
-def bench_pendulum(B=4096, T=20, iters=120, warmup=2):
+def bench_pendulum(B=4096, T=20, iters=120, warmup=2, profile_dir=None):
     import jax
     import jax.numpy as jnp
     from mpc_tpu import MPCConfig, QuadCost, GradMethods
@@ -83,10 +83,19 @@ def bench_pendulum(B=4096, T=20, iters=120, warmup=2):
     # amortized over all iters, so the estimate is a slight
     # UNDER-estimate of throughput - stable and conservative
     rest = x0s[warmup:]
-    t0 = time.perf_counter()
-    outs = [fn(x) for x in rest]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / len(rest)
+    if profile_dir:
+        # jax.profiler trace of the timed section (inspect with
+        # tensorboard or xprof); SURVEY section 5 tracing subsystem
+        import contextlib
+        prof = jax.profiler.trace(profile_dir)
+    else:
+        import contextlib
+        prof = contextlib.nullcontext()
+    with prof:
+        t0 = time.perf_counter()
+        outs = [fn(x) for x in rest]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / len(rest)
     return B / dt, dt
 
 
@@ -165,9 +174,13 @@ def main():
     ap.add_argument('--remeasure-baseline', action='store_true')
     ap.add_argument('--all', action='store_true',
                     help='also run the secondary BASELINE configs')
+    ap.add_argument('--profile', metavar='DIR', default=None,
+                    help='capture a jax.profiler trace of the timed '
+                         'section into DIR')
     args = ap.parse_args()
 
-    solves_per_sec, dt = bench_pendulum(B=args.batch, iters=args.iters)
+    solves_per_sec, dt = bench_pendulum(B=args.batch, iters=args.iters,
+                                        profile_dir=args.profile)
     base = _baseline_value(args.remeasure_baseline)
     vs = (solves_per_sec / base) if base else None
 

@@ -84,15 +84,26 @@ class PendulumDx:
             g, m, l, d, b = params
         cos_th, sin_th, dth = xs
         u = hard_clip(u, -self.max_torque, self.max_torque)
-        th = atan2(sin_th, cos_th)
         if self.simple:
             newdth = dth + self.dt * (
                 -3. * g / (2. * l) * (-sin_th) + 3. * u / (m * l ** 2))
-        else:
-            sin_th_bias = jnp.sin(th + b)
-            newdth = dth + self.dt * (
-                -3. * g / (2. * l) * (-sin_th_bias) + 3. * u / (m * l ** 2)
-                - d * th)
+            # angle addition instead of th = atan2(s, c); newth = th + d:
+            #   cos(newth) = (c cos d - s sin d) / hypot(c, s)
+            # mathematically identical to the reference's atan2 form
+            # (pendulum.py:70-80) but drops the expensive in-kernel
+            # atan2 polynomial; the 1/hypot factor reproduces atan2's
+            # implicit renormalization of a drifting (c, s) pair.
+            delta = newdth * self.dt
+            cd, sd = jnp.cos(delta), jnp.sin(delta)
+            inv_r = jax.lax.rsqrt(cos_th * cos_th + sin_th * sin_th)
+            new_cos = (cos_th * cd - sin_th * sd) * inv_r
+            new_sin = (sin_th * cd + cos_th * sd) * inv_r
+            return (new_cos, new_sin, newdth)
+        th = atan2(sin_th, cos_th)
+        sin_th_bias = jnp.sin(th + b)
+        newdth = dth + self.dt * (
+            -3. * g / (2. * l) * (-sin_th_bias) + 3. * u / (m * l ** 2)
+            - d * th)
         newth = th + newdth * self.dt
         return (jnp.cos(newth), jnp.sin(newth), newdth)
 
