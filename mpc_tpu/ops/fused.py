@@ -20,7 +20,11 @@ lanes:
   * the grid runs over batch tiles.
 
 Scope (dispatch falls back to the jnp path otherwise - see
-``supports``): quadratic cost; dynamics either in structure-of-arrays
+``supports``): quadratic cost, or non-quadratic cost in
+structure-of-arrays form (``soa_cost``/``soa_params``, quadratized
+in-kernel each outer iteration with nested jvp - the in-kernel analog
+of the reference's ``approximate_cost``, mpc/mpc.py:447-487); dynamics
+either in structure-of-arrays
 form (``soa_step``/``soa_params`` on the model, Jacobians extracted
 in-kernel with ``jax.linearize``) or ``LinDx``; float32; horizons up to
 128 (unrolled in-kernel); delta_u trust regions, ``u_zero_I`` zero-pin
@@ -72,6 +76,19 @@ def _is_soa(dynamics):
     return hasattr(dynamics, 'soa_step') and hasattr(dynamics, 'soa_params')
 
 
+def _is_soa_cost(cost):
+    """Non-quadratic cost in structure-of-arrays form: a callable
+    ``cost(tau)`` (for the jnp path / phase-2 quadratization) that also
+    provides ``soa_cost(xs, us, params)`` -> scalar lane vector and
+    ``soa_params()`` (mirroring the dynamics SoA protocol).  The kernel
+    quadratizes it in-place each outer iteration with nested ``jax.jvp``
+    (the in-kernel analog of the reference's ``approximate_cost``,
+    mpc/mpc.py:447-487) and evaluates the TRUE cost in the line search
+    (reference mpc/lqr_step.py:230-236)."""
+    return (hasattr(cost, 'soa_cost') and hasattr(cost, 'soa_params')
+            and callable(cost))
+
+
 def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
              u_lower=None, dtype=jnp.float32) -> bool:
     """Static dispatch check for the fused path."""
@@ -93,12 +110,19 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
         and (prev_ctrl is None or getattr(prev_ctrl, 'ndim', 1) in (1, 2))
         and not cfg.backprop
         and cfg.verbose <= 0
-        and isinstance(cost, QuadCost)
-        # batched [T, B, ...] (VMEM) or batch-shared [T, ...]/[...] (SMEM);
-        # C and c must agree on which (mixed layouts fall back to jnp)
-        and getattr(cost.C, 'ndim', 0) in (2, 3, 4)
-        and (getattr(cost.C, 'ndim', 0) == 4) ==
-            (getattr(cost.c, 'ndim', 0) == 3)
+        and (
+            (isinstance(cost, QuadCost)
+             # batched [T, B, ...] (VMEM) or batch-shared [T, ...]/[...]
+             # (SMEM); C and c must agree on which (mixed layouts fall
+             # back to jnp)
+             and getattr(cost.C, 'ndim', 0) in (2, 3, 4)
+             and (getattr(cost.C, 'ndim', 0) == 4) ==
+                 (getattr(cost.c, 'ndim', 0) == 3))
+            # non-quadratic SoA cost: quadratized in-kernel each outer
+            # iteration; slew + non-quadratic cost is an error upstream
+            # (reference mpc/mpc.py:451-457)
+            or (_is_soa_cost(cost) and not isinstance(cost, QuadCost)
+                and cfg.slew_rate_penalty is None))
         and dyn_ok
         and dtype == jnp.float32
         # horizons <= 128 run the fully-unrolled kernel; longer horizons
@@ -117,7 +141,8 @@ def _long_fits(cfg, cost, dynamics, u_lower, u_zero_I) -> bool:
         ns += nc           # host-side augmentation enlarges the state
     return _long_vmem_bytes(
         cfg.T, ns, nc,
-        cost_smem=getattr(cost.C, 'ndim', 0) < 4,
+        cost_smem=(not isinstance(cost, QuadCost)
+                   or getattr(cost.C, 'ndim', 0) < 4),
         dyn_smem=lindx and getattr(dynamics.F, 'ndim', 0) == 3,
         bounds_smem=u_lower is None or jnp.ndim(u_lower) < 3,
         uz_smem=u_zero_I is None or getattr(u_zero_I, 'ndim', 0) < 3,
@@ -286,7 +311,8 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                  has_f, lqr_iter, pnqp_iter, eps, best_cost_eps,
                  not_improved_lim, linesearch_decay, max_linesearch_iter,
                  delta_u=None, cost_smem=False, bounds_smem=False,
-                 dyn_smem=False, has_uz=False, uz_smem=False):
+                 dyn_smem=False, has_uz=False, uz_smem=False,
+                 cost_mode='quad', soa_cost=None, n_cost_params=0):
     ntau = ns + nc
     alphas = [linesearch_decay ** k for k in range(max_linesearch_iter)]
 
@@ -294,7 +320,9 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                lb_ref, ub_ref, uz_ref, xout_ref, uout_ref, stats_ref):
         x0 = [x0_ref[i, 0] for i in range(ns)]
         u0 = [[u0_ref[t, j, 0] for j in range(nc)] for t in range(T)]
-        if cost_smem:
+        if cost_mode != 'quad':
+            C = c = None
+        elif cost_smem:
             # batch-shared quadratic cost: scalars from SMEM, broadcast
             # lazily against the lane vectors (saves the [T, B, n, n]
             # materialization + relayout + VMEM streaming entirely)
@@ -367,6 +395,52 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
         one = zero + 1.0
         big = zero + jnp.float32(3.0e38)
 
+        if cost_mode == 'soa':
+            cparams = tuple(params_ref[0, n_params + k]
+                            for k in range(n_cost_params))
+            if nc == 1:
+                def cost_eval(xs, us):
+                    return soa_cost(tuple(xs), us[0], cparams)
+            else:
+                def cost_eval(xs, us):
+                    return soa_cost(tuple(xs), tuple(us), cparams)
+
+        def stage_cost(t, xs, us):
+            """True stage cost (reference util.get_cost, mpc/util.py:129)."""
+            if cost_mode == 'soa':
+                return cost_eval(xs, us)
+            return _quad_lin_cost(C[t], c[t], list(xs) + list(us))
+
+        def cost_quad(xs, us):
+            """Gradient + Hessian of the SoA cost at (xs, us) via nested
+            jvp over the small tau basis - the in-kernel analog of the
+            reference's double-autograd ``approximate_cost``
+            (mpc/mpc.py:470-478).  In delta space the recentred linear
+            term is exactly the gradient (c_t = g - H tau  =>
+            C tau + c = g), so only (H, g) are needed."""
+            prim = tuple(xs) + tuple(us)
+
+            def f(*tau):
+                return cost_eval(tau[:ns], tau[ns:ntau])
+
+            g = [None] * ntau
+            H = _mat(ntau, ntau)
+            for j in range(ntau):
+                tang = tuple(one if i == j else zero for i in range(ntau))
+
+                def gj(*tau_, _tang=tang):
+                    return jax.jvp(f, tau_, _tang)[1]
+
+                gv, lin = jax.linearize(gj, *prim)
+                g[j] = gv
+                for i in range(j, ntau):
+                    basis = tuple(one if kk == i else zero
+                                  for kk in range(ntau))
+                    Hij = lin(*basis)
+                    H[j][i] = Hij
+                    H[i][j] = Hij
+            return H, g
+
         def rollout_init(u_seq):
             xs = [x0]
             for t in range(T - 1):
@@ -376,8 +450,7 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
         def traj_cost(x_seq, u_seq):
             acc = 0.0
             for t in range(T):
-                acc = acc + _quad_lin_cost(C[t], c[t],
-                                           x_seq[t] + u_seq[t])
+                acc = acc + stage_cost(t, x_seq[t], u_seq[t])
             return acc
 
         x_init_traj = rollout_init(u0)
@@ -424,12 +497,22 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
             else:
                 F = Fm
 
-            cb = []
-            for t in range(T):
-                tau = x[t] + u[t]
-                cb.append([
-                    sum(C[t][i][j] * tau[j] for j in range(ntau)) + c[t][i]
-                    for i in range(ntau)])
+            if cost_mode == 'soa':
+                # quadratize the cost at the current trajectory
+                # (reference mpc/mpc.py:261 -> approximate_cost); the
+                # recentred delta-space linear term IS the gradient
+                Cq = [None] * T
+                cb = [None] * T
+                for t in range(T):
+                    Cq[t], cb[t] = cost_quad(x[t], u[t])
+            else:
+                Cq = C
+                cb = []
+                for t in range(T):
+                    tau = x[t] + u[t]
+                    cb.append([
+                        sum(C[t][i][j] * tau[j] for j in range(ntau))
+                        + c[t][i] for i in range(ntau)])
 
             # ---- Riccati backward recursion ------------------------------
             # (reference mpc/lqr_step.py:52-160; delta-space gains)
@@ -441,7 +524,7 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
             prev_kt = None
             for t in range(T - 1, -1, -1):
                 if t == T - 1:
-                    Qt = C[t]
+                    Qt = Cq[t]
                     qt = cb[t]
                 else:
                     Ft = F[t]
@@ -453,7 +536,7 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                     Qt = _mat(ntau, ntau)
                     for a in range(ntau):
                         for b in range(a, ntau):
-                            Qt[a][b] = C[t][a][b] + sum(
+                            Qt[a][b] = Cq[t][a][b] + sum(
                                 Ft[kk][a] * W[kk][b] for kk in range(ns))
                             Qt[b][a] = Qt[a][b]
                     qt = [cb[t][a] + sum(Ft[kk][a] * vv[kk]
@@ -615,8 +698,7 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                             v = jnp.clip(v, lo_f, hi_f)
                         ut.append(v)
                     nu.append(ut)
-                    cost_a = cost_a + _quad_lin_cost(C[t], c[t],
-                                                     nx[t] + ut)
+                    cost_a = cost_a + stage_cost(t, nx[t], ut)
                     if t < T - 1:
                         nx.append(dyn_step(t, nx[t], ut))
                 if ki == 0:
@@ -712,7 +794,8 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                       best_cost_eps, not_improved_lim, linesearch_decay,
                       max_linesearch_iter, delta_u=None, cost_smem=True,
                       bounds_smem=True, dyn_smem=True, has_uz=False,
-                      uz_smem=True, t_unroll=1):
+                      uz_smem=True, t_unroll=1,
+                      cost_mode='quad', soa_cost=None, n_cost_params=0):
     """Same solver as ``_make_kernel`` but with the horizon as a
     ``lax.fori_loop`` instead of a Python unroll, so T is bounded by the
     VMEM budget (see ``_long_vmem_bytes``) instead of Mosaic compile
@@ -853,9 +936,47 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             def dyn_F(t, xs, us):
                 return read_F(t)
 
+        if cost_mode == 'soa':
+            cparams = tuple(params_ref[0, n_params + k]
+                            for k in range(n_cost_params))
+            if nc == 1:
+                def cost_eval(xs, us):
+                    return soa_cost(tuple(xs), us[0], cparams)
+            else:
+                def cost_eval(xs, us):
+                    return soa_cost(tuple(xs), tuple(us), cparams)
+
         def stage_cost(t, xs, us):
+            if cost_mode == 'soa':
+                return cost_eval(xs, us)
             return _quad_lin_cost(read_C(t), read_c(t),
                                   list(xs) + list(us))
+
+        def cost_quad(xs, us):
+            """(H, g) of the SoA cost at (xs, us); see the short
+            kernel's cost_quad (same nested-jvp construction)."""
+            prim = tuple(xs) + tuple(us)
+
+            def f(*tau):
+                return cost_eval(tau[:ns], tau[ns:ntau])
+
+            g = [None] * ntau
+            H = _mat(ntau, ntau)
+            for j in range(ntau):
+                tang = tuple(one if i == j else zero for i in range(ntau))
+
+                def gj(*tau_, _tang=tang):
+                    return jax.jvp(f, tau_, _tang)[1]
+
+                gv, lin = jax.linearize(gj, *prim)
+                g[j] = gv
+                for i in range(j, ntau):
+                    basis = tuple(one if kk == i else zero
+                                  for kk in range(ntau))
+                    Hij = lin(*basis)
+                    H[j][i] = Hij
+                    H[i][j] = Hij
+            return H, g
 
         # ---- control solve at one t (shared by peel + loop) --------------
         def ctrl_solve(t, Qt, qt, prev_kt):
@@ -981,6 +1102,11 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
         def recentred(t):
             xt = read_x(t)
             ut = read_u(t)
+            if cost_mode == 'soa':
+                # quadratize at the current trajectory point; the
+                # delta-space recentred linear term is the gradient
+                Ht, gt = cost_quad(xt, ut)
+                return Ht, gt, xt, ut
             Ct = read_C(t)
             ct = read_c(t)
             tau = xt + ut
@@ -1206,6 +1332,9 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
     Returns a batched Solution (out_axes matching the vmapped path).
     """
     if cfg.slew_rate_penalty is not None:
+        # slew + non-quadratic cost is rejected upstream (supports();
+        # reference mpc/mpc.py:451-457)
+        assert isinstance(cost, QuadCost)
         return _fused_slew_solve(cfg, x_init, cost, dynamics,
                                  u_init=u_init, u_lower=u_lower,
                                  u_upper=u_upper, u_zero_I=u_zero_I,
@@ -1233,19 +1362,34 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
     dummy_smem = jnp.zeros((1, 1), dtype)
 
     # ---- cost -------------------------------------------------------------
-    Ca = jnp.asarray(cost.C, dtype)
-    ca = jnp.asarray(cost.c, dtype)
-    cost_smem = Ca.ndim < 4
-    if cost_smem:
-        C = jnp.broadcast_to(Ca, (T, ntau, ntau)).reshape(T, ntau * ntau)
-        c = jnp.broadcast_to(ca, (T, ntau))
-        C_spec = _smem((T, ntau * ntau))
-        c_spec = _smem((T, ntau))
+    if isinstance(cost, QuadCost):
+        cost_mode = 'quad'
+        soa_cost_fn = None
+        cplist = []
+        Ca = jnp.asarray(cost.C, dtype)
+        ca = jnp.asarray(cost.c, dtype)
+        cost_smem = Ca.ndim < 4
+        if cost_smem:
+            C = jnp.broadcast_to(Ca, (T, ntau, ntau)).reshape(
+                T, ntau * ntau)
+            c = jnp.broadcast_to(ca, (T, ntau))
+            C_spec = _smem((T, ntau * ntau))
+            c_spec = _smem((T, ntau))
+        else:
+            C = prep(Ca, 1)                # [T, ntau, ntau, G, 8, 128]
+            c = prep(ca, 1)
+            C_spec = _vmem((T, ntau, ntau, 1, SUB, LANE), 3)
+            c_spec = _vmem((T, ntau, 1, SUB, LANE), 2)
     else:
-        C = prep(Ca, 1)                    # [T, ntau, ntau, G, 8, 128]
-        c = prep(ca, 1)
-        C_spec = _vmem((T, ntau, ntau, 1, SUB, LANE), 3)
-        c_spec = _vmem((T, ntau, 1, SUB, LANE), 2)
+        # non-quadratic SoA cost: no arrays to stream; scalar params
+        # ride SMEM next to the dynamics params, the kernel quadratizes
+        # per outer iteration (see _is_soa_cost)
+        cost_mode = 'soa'
+        soa_cost_fn = cost.soa_cost
+        cplist = list(cost.soa_params())
+        cost_smem = True
+        C = c = dummy_smem
+        C_spec = c_spec = _smem((1, 1))
 
     # ---- dynamics ----------------------------------------------------------
     if isinstance(dynamics, LinDx):
@@ -1270,8 +1414,7 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         if not has_f:
             f = dummy_smem
             f_spec = _smem((1, 1))
-        params = dummy_smem
-        n_params = 0
+        plist = []
         soa_step = None
     else:
         dyn_mode = 'soa'
@@ -1282,10 +1425,15 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         F_spec = _smem((1, 1))
         f_spec = _smem((1, 1))
         plist = list(dynamics.soa_params())
-        n_params = len(plist)
-        params = (jnp.stack([jnp.asarray(p, dtype) for p in plist])[None]
-                  if n_params else dummy_smem)
         soa_step = dynamics.soa_step
+
+    # dynamics params first, cost params after (the kernel reads cost
+    # params at offset n_params)
+    n_params = len(plist)
+    n_cost_params = len(cplist)
+    all_params = plist + cplist
+    params = (jnp.stack([jnp.asarray(p, dtype) for p in all_params])[None]
+              if all_params else dummy_smem)
 
     # ---- initial controls / bounds -----------------------------------------
     if u_init is None:
@@ -1336,7 +1484,9 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         max_linesearch_iter=int(cfg.max_linesearch_iter),
         delta_u=(float(cfg.delta_u) if cfg.delta_u is not None else None),
         cost_smem=cost_smem, bounds_smem=bounds_smem, dyn_smem=dyn_smem,
-        has_uz=has_uz, uz_smem=uz_smem)
+        has_uz=has_uz, uz_smem=uz_smem,
+        cost_mode=cost_mode, soa_cost=soa_cost_fn,
+        n_cost_params=n_cost_params)
 
     long_horizon = T > 128
     extra = {}
@@ -1360,7 +1510,7 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         kernel,
         grid=(G,),
         in_specs=[
-            _smem((1, max(1, n_params))),
+            _smem((1, max(1, n_params + n_cost_params))),
             C_spec,
             c_spec,
             F_spec,
