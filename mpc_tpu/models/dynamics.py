@@ -33,6 +33,14 @@ _ACT_DERIV_FROM_OUT = {
     'elu': lambda z: jnp.where(z > 0, 1.0, z + 1.0),
 }
 
+# Mosaic-lowerable activation forms for the in-kernel (SoA) path:
+# exp/max/where all lower; jax.nn.sigmoid's `logistic` primitive may not
+_ACTS_SOA = {
+    'sigmoid': lambda v: 1.0 / (1.0 + jnp.exp(-v)),
+    'relu': lambda v: jnp.maximum(v, 0.0),
+    'elu': lambda v: jnp.where(v > 0, v, jnp.exp(v) - 1.0),
+}
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -100,6 +108,53 @@ class NNDynamics:
         if self.passthrough:
             R = R + jnp.eye(n_state, dtype=R.dtype)
         return R, S
+
+    # -- structure-of-arrays protocol (fused Pallas solver) ----------------
+    # Weights ride SMEM as individual scalars and each neuron's
+    # activation is one (8, 128) lane register, so a small MLP unrolls
+    # into full-width VPU multiply-adds; the kernel extracts Jacobians
+    # with in-kernel jax.linearize, replacing the reference's hand-rolled
+    # grad_input reverse product (mpc/dynamics.py:81-130).  Scope: total
+    # parameter count <= 512 scalars (the fused dispatch falls back to
+    # the jnp path beyond that - ops/fused.py:supports); the reference's
+    # default hidden=100 MLP runs on the jnp path.  MLPs over 64 params
+    # route through the fori-loop kernel regardless of T, which is both
+    # faster (e.g. hidden=16, T=20: ~1.04M solves/s/chip, 8.7x the jnp
+    # path) and ~T-fold cheaper to Mosaic-compile than the unrolled
+    # kernel; the first compile still takes minutes and is persistently
+    # cached.  Practical hidden sizes: <= 32.
+    def soa_params(self):
+        out = []
+        for W, b in self.params:
+            n_out, n_in = W.shape
+            out.extend(W[i, j] for i in range(n_out) for j in range(n_in))
+            out.extend(b[i] for i in range(n_out))
+        return tuple(out)
+
+    def soa_step(self, xs, u, params):
+        comps = list(xs) + (list(u) if isinstance(u, tuple) else [u])
+        ns = len(xs)
+        act = _ACTS_SOA[self.activation]
+        n_layers = len(self.params)
+        z = comps
+        idx = 0
+        for li, (W, b) in enumerate(self.params):
+            n_out, n_in = W.shape
+            zn = []
+            for i in range(n_out):
+                s = params[idx + i * n_in]
+                s = s * z[0]
+                for j in range(1, n_in):
+                    s = s + params[idx + i * n_in + j] * z[j]
+                s = s + params[idx + n_out * n_in + i]
+                zn.append(s)
+            idx += n_out * n_in + n_out
+            if li < n_layers - 1:
+                zn = [act(v) for v in zn]
+            z = zn
+        if self.passthrough:
+            z = [z[i] + comps[i] for i in range(ns)]
+        return tuple(z)
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):

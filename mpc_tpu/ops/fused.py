@@ -76,6 +76,20 @@ def _is_soa(dynamics):
     return hasattr(dynamics, 'soa_step') and hasattr(dynamics, 'soa_params')
 
 
+# SoA params ride SMEM as individual scalars and every use unrolls into
+# kernel instructions; beyond this many scalars (e.g. the reference's
+# default hidden=100 NNDynamics MLP) Mosaic compile time and register
+# pressure outweigh the fusion win - dispatch falls back to jnp
+_MAX_SOA_PARAMS = 512
+
+
+def _soa_param_budget_ok(obj):
+    try:
+        return len(obj.soa_params()) <= _MAX_SOA_PARAMS
+    except Exception:
+        return False
+
+
 def _is_soa_cost(cost):
     """Non-quadratic cost in structure-of-arrays form: a callable
     ``cost(tau)`` (for the jnp path / phase-2 quadratization) that also
@@ -98,7 +112,7 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
             or getattr(dynamics.f, 'ndim', 0) == getattr(
                 dynamics.F, 'ndim', 0) - 1)
     else:
-        dyn_ok = _is_soa(dynamics)
+        dyn_ok = _is_soa(dynamics) and _soa_param_budget_ok(dynamics)
     return (
         # slew runs through the host-side state augmentation (see
         # fused_batched_solve); non-quadratic costs are out of scope
@@ -122,6 +136,7 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
             # iteration; slew + non-quadratic cost is an error upstream
             # (reference mpc/mpc.py:451-457)
             or (_is_soa_cost(cost) and not isinstance(cost, QuadCost)
+                and _soa_param_budget_ok(cost)
                 and cfg.slew_rate_penalty is None))
         and dyn_ok
         and dtype == jnp.float32
@@ -1122,6 +1137,19 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             kt, Kt, qp0 = ctrl_solve(T - 1, Ct, cb, None)
             write_gains(T - 1, Kt, kt)
             V, v = vv_update(Ct, cb, Kt, kt)
+            # fori carry types must match: with lane-valued dynamics
+            # Jacobians (SoA / batched LinDx) the loop body produces
+            # lane-tile V while the unconstrained peel above can stay
+            # 0-d (SMEM-scalar quadratic cost => scalar Kt) - broadcast
+            # the peeled carry.  The all-SMEM LinDx case is scalar on
+            # both sides and must stay scalar (the TVLQR fast path).
+            if ((dyn_mode == 'soa' or not dyn_smem)
+                    and cost_mode == 'quad' and cost_smem
+                    and not has_bounds and not has_uz):
+                V = [[V[i][j] + zero for j in range(ns)]
+                     for i in range(ns)]
+                v = [vi + zero for vi in v]
+                kt = [ki + zero for ki in kt]
 
             def rstep(i, carry):
                 V, v, prev_kt, qp = carry
@@ -1315,6 +1343,10 @@ def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
 
 _LONG_T_VMEM_LIMIT = 13 * 2 ** 20   # leave headroom in the ~16MB VMEM
 
+# SoA models with more scalar params than this compile through the
+# long (fori-loop) kernel even at T <= 128 (see fused_batched_solve)
+_UNROLL_PARAM_LIMIT = 64
+
 
 # ---------------------------------------------------------------------------
 # host-side wrapper
@@ -1488,7 +1520,14 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         cost_mode=cost_mode, soa_cost=soa_cost_fn,
         n_cost_params=n_cost_params)
 
-    long_horizon = T > 128
+    # param-heavy SoA models (e.g. NNDynamics MLPs) route through the
+    # fori-loop kernel even at short T: the unrolled kernel re-traces
+    # the model T * (rollouts + linearize) times and Mosaic compile time
+    # blows up (minutes for a hidden=16 MLP at T=20), while the long
+    # kernel traces the horizon body once for a ~T-fold compile saving
+    # at a modest runtime cost
+    long_horizon = T > 128 or (n_params + n_cost_params
+                               > _UNROLL_PARAM_LIMIT)
     extra = {}
     if long_horizon:
         kernel = _make_kernel_long(**common)
