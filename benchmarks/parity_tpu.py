@@ -32,7 +32,10 @@ from mpc_tpu.models import PendulumDx
 from mpc_tpu.parallel import make_mesh, solve_sharded
 
 
-def check_vs_reference(B=64, T=20, IT=10):
+def check_vs_reference(B=1024, T=20, IT=10):
+    # B = one full (8, 128) batch tile: real examples in EVERY sublane
+    # row, so sublane-coupling bugs (see tests/test_fused_fulltile.py)
+    # cannot hide behind the edge padding
     import torch
     from mpc import mpc as ref_mpc
     from mpc.mpc import GradMethods as TGrad

@@ -482,30 +482,26 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                 ones_v = one
                 zeros_v = zero
                 for t in range(T - 1):
-                    if nc == 1:
-                        prim = (tuple(x[t]), u[t][0])
-                    else:
-                        prim = (tuple(x[t]), tuple(u[t]))
+                    # the primal control is the WHOLE tuple u[t]; ``step``
+                    # itself unwraps the nc == 1 scalar (passing u[t][0]
+                    # here would make step's us[0] slice off sublane row
+                    # 0 and broadcast the first 128 examples' controls to
+                    # the whole tile - wrong Jacobians for every sublane
+                    # but the first)
+                    prim = (tuple(x[t]), tuple(u[t]))
                     _, lin = jax.linearize(step, *prim)
                     Ft = _mat(ns, ntau)
                     for j in range(ns):
                         tang_x = tuple(ones_v if i == j else zeros_v
                                        for i in range(ns))
-                        if nc == 1:
-                            col = lin(tang_x, zeros_v)
-                        else:
-                            col = lin(tang_x,
-                                      tuple(zeros_v for _ in range(nc)))
+                        col = lin(tang_x,
+                                  tuple(zeros_v for _ in range(nc)))
                         for i in range(ns):
                             Ft[i][j] = col[i]
                     for j in range(nc):
-                        if nc == 1:
-                            col = lin(tuple(zeros_v for _ in range(ns)),
-                                      ones_v)
-                        else:
-                            col = lin(tuple(zeros_v for _ in range(ns)),
-                                      tuple(ones_v if i == j else zeros_v
-                                            for i in range(nc)))
+                        col = lin(tuple(zeros_v for _ in range(ns)),
+                                  tuple(ones_v if i == j else zeros_v
+                                        for i in range(nc)))
                         for i in range(ns):
                             Ft[i][ns + j] = col[i]
                     F.append(Ft)
@@ -891,30 +887,22 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
 
             def dyn_F(t, xs, us):
                 ones_v, zeros_v = one, zero
-                if nc == 1:
-                    prim = (tuple(xs), us[0])
-                else:
-                    prim = (tuple(xs), tuple(us))
+                # whole-tuple primal; ``step`` unwraps nc == 1 itself
+                # (see the short kernel's linearize block for why)
+                prim = (tuple(xs), tuple(us))
                 _, lin = jax.linearize(step, *prim)
                 Ft = _mat(ns, ntau)
                 for j in range(ns):
                     tang_x = tuple(ones_v if i == j else zeros_v
                                    for i in range(ns))
-                    if nc == 1:
-                        col = lin(tang_x, zeros_v)
-                    else:
-                        col = lin(tang_x,
-                                  tuple(zeros_v for _ in range(nc)))
+                    col = lin(tang_x,
+                              tuple(zeros_v for _ in range(nc)))
                     for i in range(ns):
                         Ft[i][j] = col[i]
                 for j in range(nc):
-                    if nc == 1:
-                        col = lin(tuple(zeros_v for _ in range(ns)),
-                                  ones_v)
-                    else:
-                        col = lin(tuple(zeros_v for _ in range(ns)),
-                                  tuple(ones_v if i == j else zeros_v
-                                        for i in range(nc)))
+                    col = lin(tuple(zeros_v for _ in range(ns)),
+                              tuple(ones_v if i == j else zeros_v
+                                    for i in range(nc)))
                     for i in range(ns):
                         Ft[i][ns + j] = col[i]
                 return Ft
