@@ -80,6 +80,58 @@ def test_fulltile_matches_jnp():
     assert (d > 1e-3).mean() < 0.005, (d > 1e-3).mean()
 
 
+def test_fulltile_multictrl_box_invariance():
+    """Order invariance through the in-kernel projected-Newton QP
+    (n_ctrl = 4, box bounds)."""
+    from mpc_tpu import LinDx
+    B, T, ns, nc = 1024, 4, 3, 4
+    rng = np.random.RandomState(1)
+    ntau = ns + nc
+    C = rng.randn(ntau, ntau).astype(np.float32)
+    C = C @ C.T + 0.5 * np.eye(ntau, dtype=np.float32)
+    c = rng.randn(ntau).astype(np.float32)
+    F = np.concatenate(
+        [np.eye(ns, dtype=np.float32)
+         + 0.1 * rng.randn(ns, ns).astype(np.float32),
+         0.5 * rng.randn(ns, nc).astype(np.float32)], 1)
+    F = np.tile(F, (T - 1, 1, 1))
+    x0 = rng.randn(B, ns).astype(np.float32)
+    cfg = _cfg(T, n_state=ns, n_ctrl=nc, pnqp_iter=10)
+    cost = QuadCost(jnp.asarray(C), jnp.asarray(c))
+    dyn = LinDx(jnp.asarray(F), None)
+
+    def solve(x):
+        return np.asarray(fused_batched_solve(
+            cfg, jnp.asarray(x), cost, dyn, u_lower=jnp.float32(-0.5),
+            u_upper=jnp.float32(0.5), interpret=True).u)
+
+    u = solve(x0)
+    ur = solve(x0[::-1].copy())[:, ::-1]
+    np.testing.assert_array_equal(u, ur)
+
+
+def test_fulltile_soacost_invariance():
+    """Order invariance through the in-kernel non-quadratic cost
+    quadratization."""
+    from mpc_tpu.models import PseudoHuberCost
+    B = 1024
+    dx, x0, _ = _pendulum(B)
+    cost = PseudoHuberCost(
+        w=jnp.asarray([1.0, 1.0, 0.1, 0.01], jnp.float32),
+        goal=jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
+        delta=jnp.asarray(0.7, jnp.float32))
+    cfg = _cfg(5)
+
+    def solve(x):
+        return np.asarray(fused_batched_solve(
+            cfg, jnp.asarray(x), cost, dx, u_lower=jnp.float32(-2.),
+            u_upper=jnp.float32(2.), interpret=True).u)
+
+    u = solve(x0)
+    ur = solve(x0[::-1].copy())[:, ::-1]
+    np.testing.assert_array_equal(u, ur)
+
+
 def test_fulltile_long_kernel_order_invariance():
     """Same order-invariance through the fori-loop kernel (NNDynamics
     routes there via the param-count rule)."""
