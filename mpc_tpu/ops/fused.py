@@ -806,7 +806,8 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                       max_linesearch_iter, delta_u=None, cost_smem=True,
                       bounds_smem=True, dyn_smem=True, has_uz=False,
                       uz_smem=True, t_unroll=1,
-                      cost_mode='quad', soa_cost=None, n_cost_params=0):
+                      cost_mode='quad', soa_cost=None, n_cost_params=0,
+                      cost_stream=False):
     """Same solver as ``_make_kernel`` but with the horizon as a
     ``lax.fori_loop`` instead of a Python unroll, so T is bounded by the
     VMEM budget (see ``_long_vmem_bytes``) instead of Mosaic compile
@@ -827,14 +828,33 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
 
     def kernel(params_ref, C_ref, c_ref, F_ref, f_ref, x0_ref, u0_ref,
                lb_ref, ub_ref, uz_ref, xout_ref, uout_ref, stats_ref,
-               x_ref, u_ref, K_ref, k_ref):
+               x_ref, u_ref, K_ref, k_ref, *stream_refs):
         x0 = [x0_ref[i, 0] for i in range(ns)]
         zero = x0[0] * 0.0
         one = zero + 1.0
         big = zero + jnp.float32(3.0e38)
 
         # ---- dynamic-t accessors ----------------------------------------
+        # Batched per-example cost at long T cannot fit VMEM (T * ntau^2
+        # lane tiles); it stays in HBM (pl.ANY) and each read DMAs the
+        # one [ntau, ntau] (or [ntau]) t-slice into a small VMEM scratch
+        # (synchronous copy - correctness first; the Riccati/rollout
+        # loops hide part of the latency by touching each t once)
+        if cost_stream:
+            Cbuf_ref, cbuf_ref, Csem, csem = stream_refs
+            gi = pl.program_id(0)
+
         def read_C(t):
+            if cost_stream:
+                # streamed layout is G-leading ([G, T, ntau, ntau, SUB,
+                # LANE]) so the DMA slice uses leading indices only -
+                # a mid-axis dynamic index hangs Mosaic's DMA lowering
+                cp = pltpu.make_async_copy(
+                    C_ref.at[gi, t], Cbuf_ref, Csem)
+                cp.start()
+                cp.wait()
+                return [[Cbuf_ref[i, j] for j in range(ntau)]
+                        for i in range(ntau)]
             if cost_smem:
                 return [[C_ref[t, i * ntau + j] for j in range(ntau)]
                         for i in range(ntau)]
@@ -842,6 +862,12 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                     for i in range(ntau)]
 
         def read_c(t):
+            if cost_stream:
+                cp = pltpu.make_async_copy(
+                    c_ref.at[gi, t], cbuf_ref, csem)
+                cp.start()
+                cp.wait()
+                return [cbuf_ref[i] for i in range(ntau)]
             if cost_smem:
                 return [c_ref[t, i] for i in range(ntau)]
             return [c_ref[t, i, 0] for i in range(ntau)]
@@ -1315,18 +1341,21 @@ def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
                      uz_smem, has_uz, has_bounds, has_f, lindx):
     """Conservative VMEM estimate (bytes) for the long-horizon kernel:
     per-t lane tiles for u0+outputs+scratch plus any batched (VMEM)
-    operands.  u0 is input/output-aliased with uout, so counted once."""
+    operands.  u0 is input/output-aliased with uout, so counted once.
+    Batched cost is NOT T-scaled: it stays in HBM and is DMA-streamed
+    through a constant-size scratch slice (see ``cost_stream``)."""
     ntau = ns + nc
     tiles = 2 * ns + 2 * nc + nc * ns + nc   # xout,x + uout(=u0),u + K,k
+    const_tiles = 0
     if not cost_smem:
-        tiles += ntau * ntau + ntau
+        const_tiles += ntau * ntau + ntau    # streamed per-t slice
     if lindx and not dyn_smem:
         tiles += ns * ntau + (ns if has_f else 0)
     if has_bounds and not bounds_smem:
         tiles += 2 * nc
     if has_uz and not uz_smem:
         tiles += nc
-    return T * tiles * SUB * LANE * 4
+    return (T * tiles + const_tiles) * SUB * LANE * 4
 
 
 _LONG_T_VMEM_LIMIT = 13 * 2 ** 20   # leave headroom in the ~16MB VMEM
@@ -1518,14 +1547,31 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                                > _UNROLL_PARAM_LIMIT)
     extra = {}
     if long_horizon:
-        kernel = _make_kernel_long(**common)
+        scratch = [
+            pltpu.VMEM((T, ns, SUB, LANE), dtype),       # x
+            pltpu.VMEM((T, nc, SUB, LANE), dtype),       # u
+            pltpu.VMEM((T, nc * ns, SUB, LANE), dtype),  # K
+            pltpu.VMEM((T, nc, SUB, LANE), dtype),       # k
+        ]
+        cost_stream = cost_mode == 'quad' and not cost_smem
+        if cost_stream:
+            # batched per-example cost stays in HBM; the kernel DMAs
+            # one t-slice at a time into these scratch buffers.  Move
+            # the grid axis to the FRONT so the per-(g, t) DMA slice
+            # uses leading indices only (Mosaic requirement).
+            C = jnp.moveaxis(C, 3, 0)      # [G, T, ntau, ntau, 8, 128]
+            c = jnp.moveaxis(c, 2, 0)      # [G, T, ntau, 8, 128]
+            C_spec = pl.BlockSpec(memory_space=pl.ANY)
+            c_spec = pl.BlockSpec(memory_space=pl.ANY)
+            scratch += [
+                pltpu.VMEM((ntau, ntau, SUB, LANE), dtype),  # C slice
+                pltpu.VMEM((ntau, SUB, LANE), dtype),        # c slice
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ]
+        kernel = _make_kernel_long(**common, cost_stream=cost_stream)
         extra = dict(
-            scratch_shapes=[
-                pltpu.VMEM((T, ns, SUB, LANE), dtype),       # x
-                pltpu.VMEM((T, nc, SUB, LANE), dtype),       # u
-                pltpu.VMEM((T, nc * ns, SUB, LANE), dtype),  # K
-                pltpu.VMEM((T, nc, SUB, LANE), dtype),       # k
-            ],
+            scratch_shapes=scratch,
             # u0 aliases the u-output buffer (it IS the initial best_u),
             # saving T*nc lane tiles of VMEM
             input_output_aliases={6: 1},
