@@ -807,7 +807,7 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                       bounds_smem=True, dyn_smem=True, has_uz=False,
                       uz_smem=True, t_unroll=1,
                       cost_mode='quad', soa_cost=None, n_cost_params=0,
-                      cost_stream=False):
+                      cost_stream=False, dyn_stream=False):
     """Same solver as ``_make_kernel`` but with the horizon as a
     ``lax.fori_loop`` instead of a Python unroll, so T is bounded by the
     VMEM budget (see ``_long_vmem_bytes``) instead of Mosaic compile
@@ -840,9 +840,17 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
         # one [ntau, ntau] (or [ntau]) t-slice into a small VMEM scratch
         # (synchronous copy - correctness first; the Riccati/rollout
         # loops hide part of the latency by touching each t once)
-        if cost_stream:
-            Cbuf_ref, cbuf_ref, Csem, csem = stream_refs
+        srefs = list(stream_refs)
+        if cost_stream or dyn_stream:
             gi = pl.program_id(0)
+        if cost_stream:
+            Cbuf_ref, cbuf_ref, Csem, csem = srefs[:4]
+            srefs = srefs[4:]
+        if dyn_stream:
+            if has_f:
+                Fbuf_ref, fbuf_ref, Fsem, fsem = srefs[:4]
+            else:
+                Fbuf_ref, Fsem = srefs[:2]
 
         def read_C(t):
             if cost_stream:
@@ -934,6 +942,13 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                 return Ft
         else:
             def read_F(t):
+                if dyn_stream:
+                    cp = pltpu.make_async_copy(
+                        F_ref.at[gi, t], Fbuf_ref, Fsem)
+                    cp.start()
+                    cp.wait()
+                    return [[Fbuf_ref[i, j] for j in range(ntau)]
+                            for i in range(ns)]
                 if dyn_smem:
                     return [[F_ref[t, i * ntau + j] for j in range(ntau)]
                             for i in range(ns)]
@@ -943,6 +958,12 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             def read_f(t):
                 if not has_f:
                     return None
+                if dyn_stream:
+                    cp = pltpu.make_async_copy(
+                        f_ref.at[gi, t], fbuf_ref, fsem)
+                    cp.start()
+                    cp.wait()
+                    return [fbuf_ref[i] for i in range(ns)]
                 if dyn_smem:
                     return [f_ref[t, i] for i in range(ns)]
                 return [f_ref[t, i, 0] for i in range(ns)]
@@ -1350,7 +1371,7 @@ def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
     if not cost_smem:
         const_tiles += ntau * ntau + ntau    # streamed per-t slice
     if lindx and not dyn_smem:
-        tiles += ns * ntau + (ns if has_f else 0)
+        const_tiles += ns * ntau + (ns if has_f else 0)   # streamed
     if has_bounds and not bounds_smem:
         tiles += 2 * nc
     if has_uz and not uz_smem:
@@ -1569,7 +1590,23 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ]
-        kernel = _make_kernel_long(**common, cost_stream=cost_stream)
+        # batched per-example LinDx dynamics stream the same way
+        dyn_stream = dyn_mode == 'lindx' and not dyn_smem
+        if dyn_stream:
+            F = jnp.moveaxis(F, 3, 0)      # [G, T-1, ns, ntau, 8, 128]
+            F_spec = pl.BlockSpec(memory_space=pl.ANY)
+            scratch += [
+                pltpu.VMEM((ns, ntau, SUB, LANE), dtype),    # F slice
+            ]
+            if has_f:
+                f = jnp.moveaxis(f, 2, 0)  # [G, T-1, ns, 8, 128]
+                f_spec = pl.BlockSpec(memory_space=pl.ANY)
+                scratch += [pltpu.VMEM((ns, SUB, LANE), dtype)]
+            scratch += [pltpu.SemaphoreType.DMA]
+            if has_f:
+                scratch += [pltpu.SemaphoreType.DMA]
+        kernel = _make_kernel_long(**common, cost_stream=cost_stream,
+                                   dyn_stream=dyn_stream)
         extra = dict(
             scratch_shapes=scratch,
             # u0 aliases the u-output buffer (it IS the initial best_u),

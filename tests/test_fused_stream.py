@@ -67,6 +67,32 @@ def test_streamed_cost_lindx_matches_jnp():
                                np.asarray(fus.costs), rtol=1e-5)
 
 
+def test_streamed_dynamics_and_cost_matches_jnp():
+    """Batched per-example LinDx (F AND f) + batched cost at T=140:
+    both stream from HBM."""
+    B, T, ns, nc = 16, 140, 3, 1
+    rng = np.random.RandomState(0)
+    M = rng.randn(ns, ns).astype(np.float32)
+    Qo, _ = np.linalg.qr(M)
+    ntau = ns + nc
+    F = np.tile(np.concatenate(
+        [(0.97 * Qo).astype(np.float32),
+         0.3 * rng.randn(ns, nc).astype(np.float32)], 1), (T - 1, B, 1, 1))
+    F += 0.01 * rng.randn(T - 1, B, ns, ntau).astype(np.float32)
+    f = 0.05 * rng.randn(T - 1, B, ns).astype(np.float32)
+    cost = _batched_cost(T, B, ntau, rng)
+    dyn = LinDx(jnp.asarray(F), jnp.asarray(f))
+    x0 = jnp.asarray(rng.randn(B, ns).astype(np.float32))
+    cfg = _cfg(T, lqr_iter=3, max_linesearch_iter=3)
+    assert supports(cfg, cost, dyn)
+    lb, ub = jnp.float32(-0.6), jnp.float32(0.6)
+    ref = batched_solve(cfg, x0, cost, dyn, u_lower=lb, u_upper=ub)
+    fus = fused_batched_solve(cfg, x0, cost, dyn, u_lower=lb, u_upper=ub,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=5e-5)
+
+
 def test_streamed_cost_pendulum_matches_jnp():
     """SoA dynamics + streamed batched cost at T=140."""
     B, T = 16, 140
