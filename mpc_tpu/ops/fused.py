@@ -844,25 +844,26 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
         if cost_stream or dyn_stream:
             gi = pl.program_id(0)
         if cost_stream:
-            Cbuf_ref, cbuf_ref, Csem, csem = srefs[:4]
-            srefs = srefs[4:]
+            Cbuf_ref, Csem = srefs[:2]
+            srefs = srefs[2:]
         if dyn_stream:
-            if has_f:
-                Fbuf_ref, fbuf_ref, Fsem, fsem = srefs[:4]
-            else:
-                Fbuf_ref, Fsem = srefs[:2]
+            Fbuf_ref, Fsem = srefs[:2]
+
+        def read_Cc(t):
+            """Streamed (C_t, c_t) in ONE DMA: the host packs c as row
+            ntau of the C block, the layout is G-leading so the slice
+            uses leading indices only (a mid-axis dynamic index hangs
+            Mosaic's DMA lowering)."""
+            cp = pltpu.make_async_copy(
+                C_ref.at[gi, t], Cbuf_ref, Csem)
+            cp.start()
+            cp.wait()
+            Ct = [[Cbuf_ref[i, j] for j in range(ntau)]
+                  for i in range(ntau)]
+            ct = [Cbuf_ref[ntau, j] for j in range(ntau)]
+            return Ct, ct
 
         def read_C(t):
-            if cost_stream:
-                # streamed layout is G-leading ([G, T, ntau, ntau, SUB,
-                # LANE]) so the DMA slice uses leading indices only -
-                # a mid-axis dynamic index hangs Mosaic's DMA lowering
-                cp = pltpu.make_async_copy(
-                    C_ref.at[gi, t], Cbuf_ref, Csem)
-                cp.start()
-                cp.wait()
-                return [[Cbuf_ref[i, j] for j in range(ntau)]
-                        for i in range(ntau)]
             if cost_smem:
                 return [[C_ref[t, i * ntau + j] for j in range(ntau)]
                         for i in range(ntau)]
@@ -870,12 +871,6 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                     for i in range(ntau)]
 
         def read_c(t):
-            if cost_stream:
-                cp = pltpu.make_async_copy(
-                    c_ref.at[gi, t], cbuf_ref, csem)
-                cp.start()
-                cp.wait()
-                return [cbuf_ref[i] for i in range(ntau)]
             if cost_smem:
                 return [c_ref[t, i] for i in range(ntau)]
             return [c_ref[t, i, 0] for i in range(ntau)]
@@ -941,14 +936,22 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                         Ft[i][ns + j] = col[i]
                 return Ft
         else:
+            def read_Ff(t):
+                """Streamed (F_t, f_t) in one DMA (f packed as column
+                ntau of the F block when present)."""
+                cp = pltpu.make_async_copy(
+                    F_ref.at[gi, t], Fbuf_ref, Fsem)
+                cp.start()
+                cp.wait()
+                Ft = [[Fbuf_ref[i, j] for j in range(ntau)]
+                      for i in range(ns)]
+                fv = ([Fbuf_ref[i, ntau] for i in range(ns)]
+                      if has_f else None)
+                return Ft, fv
+
             def read_F(t):
                 if dyn_stream:
-                    cp = pltpu.make_async_copy(
-                        F_ref.at[gi, t], Fbuf_ref, Fsem)
-                    cp.start()
-                    cp.wait()
-                    return [[Fbuf_ref[i, j] for j in range(ntau)]
-                            for i in range(ns)]
+                    return read_Ff(t)[0]
                 if dyn_smem:
                     return [[F_ref[t, i * ntau + j] for j in range(ntau)]
                             for i in range(ns)]
@@ -958,20 +961,17 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             def read_f(t):
                 if not has_f:
                     return None
-                if dyn_stream:
-                    cp = pltpu.make_async_copy(
-                        f_ref.at[gi, t], fbuf_ref, fsem)
-                    cp.start()
-                    cp.wait()
-                    return [fbuf_ref[i] for i in range(ns)]
                 if dyn_smem:
                     return [f_ref[t, i] for i in range(ns)]
                 return [f_ref[t, i, 0] for i in range(ns)]
 
             def dyn_step(t, xs, us):
                 # t is clamped by callers to [0, T-2]
-                Ft = read_F(t)
-                fv = read_f(t)
+                if dyn_stream:
+                    Ft, fv = read_Ff(t)
+                else:
+                    Ft = read_F(t)
+                    fv = read_f(t)
                 tau = list(xs) + list(us)
                 out = []
                 for i in range(ns):
@@ -999,6 +999,9 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
         def stage_cost(t, xs, us):
             if cost_mode == 'soa':
                 return cost_eval(xs, us)
+            if cost_stream:
+                Ct, ct = read_Cc(t)
+                return _quad_lin_cost(Ct, ct, list(xs) + list(us))
             return _quad_lin_cost(read_C(t), read_c(t),
                                   list(xs) + list(us))
 
@@ -1157,8 +1160,11 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                 # delta-space recentred linear term is the gradient
                 Ht, gt = cost_quad(xt, ut)
                 return Ht, gt, xt, ut
-            Ct = read_C(t)
-            ct = read_c(t)
+            if cost_stream:
+                Ct, ct = read_Cc(t)
+            else:
+                Ct = read_C(t)
+                ct = read_c(t)
             tau = xt + ut
             cb = [sum(Ct[i][j] * tau[j] for j in range(ntau)) + ct[i]
                   for i in range(ntau)]
@@ -1582,29 +1588,32 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
             # uses leading indices only (Mosaic requirement).
             C = jnp.moveaxis(C, 3, 0)      # [G, T, ntau, ntau, 8, 128]
             c = jnp.moveaxis(c, 2, 0)      # [G, T, ntau, 8, 128]
+            # pack c as row ntau of the C block: (C_t, c_t) per t in
+            # ONE DMA instead of two (the copies are latency-bound)
+            C = jnp.concatenate([C, c[:, :, None]], axis=2)
+            c = dummy_smem
             C_spec = pl.BlockSpec(memory_space=pl.ANY)
-            c_spec = pl.BlockSpec(memory_space=pl.ANY)
+            c_spec = _smem((1, 1))
             scratch += [
-                pltpu.VMEM((ntau, ntau, SUB, LANE), dtype),  # C slice
-                pltpu.VMEM((ntau, SUB, LANE), dtype),        # c slice
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((ntau + 1, ntau, SUB, LANE), dtype),
                 pltpu.SemaphoreType.DMA,
             ]
         # batched per-example LinDx dynamics stream the same way
         dyn_stream = dyn_mode == 'lindx' and not dyn_smem
         if dyn_stream:
             F = jnp.moveaxis(F, 3, 0)      # [G, T-1, ns, ntau, 8, 128]
+            if has_f:
+                # pack f as column ntau of the F block (one DMA per t)
+                f = jnp.moveaxis(f, 2, 0)  # [G, T-1, ns, 8, 128]
+                F = jnp.concatenate([F, f[:, :, :, None]], axis=3)
+                f = dummy_smem
+                f_spec = _smem((1, 1))
             F_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch += [
-                pltpu.VMEM((ns, ntau, SUB, LANE), dtype),    # F slice
+                pltpu.VMEM((ns, ntau + (1 if has_f else 0), SUB, LANE),
+                           dtype),
+                pltpu.SemaphoreType.DMA,
             ]
-            if has_f:
-                f = jnp.moveaxis(f, 2, 0)  # [G, T-1, ns, 8, 128]
-                f_spec = pl.BlockSpec(memory_space=pl.ANY)
-                scratch += [pltpu.VMEM((ns, SUB, LANE), dtype)]
-            scratch += [pltpu.SemaphoreType.DMA]
-            if has_f:
-                scratch += [pltpu.SemaphoreType.DMA]
         kernel = _make_kernel_long(**common, cost_stream=cost_stream,
                                    dyn_stream=dyn_stream)
         extra = dict(
