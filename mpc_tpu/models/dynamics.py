@@ -33,10 +33,13 @@ _ACT_DERIV_FROM_OUT = {
     'elu': lambda z: jnp.where(z > 0, 1.0, z + 1.0),
 }
 
-# Mosaic-lowerable activation forms for the in-kernel (SoA) path:
-# exp/max/where all lower; jax.nn.sigmoid's `logistic` primitive may not
+# Mosaic-lowerable activation forms for the in-kernel (SoA) path
+# (jax.nn.sigmoid's `logistic` primitive may not lower).  Sigmoid goes
+# through tanh: the naive 1/(1+exp(-v)) overflows exp for v < ~-88 in
+# f32 and its JVP then yields inf/inf = NaN Jacobians; tanh and its
+# JVP (1 - tanh^2) are stable for all v.
 _ACTS_SOA = {
-    'sigmoid': lambda v: 1.0 / (1.0 + jnp.exp(-v)),
+    'sigmoid': lambda v: 0.5 * (jnp.tanh(0.5 * v) + 1.0),
     'relu': lambda v: jnp.maximum(v, 0.0),
     'elu': lambda v: jnp.where(v > 0, v, jnp.exp(v) - 1.0),
 }
@@ -123,6 +126,11 @@ class NNDynamics:
     # path) and ~T-fold cheaper to Mosaic-compile than the unrolled
     # kernel; the first compile still takes minutes and is persistently
     # cached.  Practical hidden sizes: <= 32.
+    def soa_param_count(self):
+        """Shape-based scalar count (dispatch checks call this instead
+        of materializing soa_params())."""
+        return sum(W.size + b.size for W, b in self.params)
+
     def soa_params(self):
         out = []
         for W, b in self.params:

@@ -77,17 +77,23 @@ def _is_soa(dynamics):
 
 
 # SoA params ride SMEM as individual scalars and every use unrolls into
-# kernel instructions; beyond this many scalars (e.g. the reference's
-# default hidden=100 NNDynamics MLP) Mosaic compile time and register
-# pressure outweigh the fusion win - dispatch falls back to jnp
+# kernel instructions; beyond this many scalars COMBINED across
+# dynamics and cost (e.g. the reference's default hidden=100 NNDynamics
+# MLP) Mosaic compile time and register pressure outweigh the fusion
+# win - dispatch falls back to jnp
 _MAX_SOA_PARAMS = 512
 
 
-def _soa_param_budget_ok(obj):
+def _soa_param_count(obj):
+    """Number of SoA scalars, preferring a shape-based count
+    (``soa_param_count``) over materializing ``soa_params()``."""
     try:
-        return len(obj.soa_params()) <= _MAX_SOA_PARAMS
+        n = getattr(obj, 'soa_param_count', None)
+        if n is not None:
+            return int(n())
+        return len(obj.soa_params())
     except Exception:
-        return False
+        return 1 << 30
 
 
 def _is_soa_cost(cost):
@@ -106,13 +112,27 @@ def _is_soa_cost(cost):
 def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
              u_lower=None, dtype=jnp.float32) -> bool:
     """Static dispatch check for the fused path."""
+    n_dyn_p = 0
     if isinstance(dynamics, LinDx):
         dyn_ok = getattr(dynamics.F, 'ndim', 0) in (3, 4) and (
             dynamics.f is None
             or getattr(dynamics.f, 'ndim', 0) == getattr(
                 dynamics.F, 'ndim', 0) - 1)
     else:
-        dyn_ok = _is_soa(dynamics) and _soa_param_budget_ok(dynamics)
+        dyn_ok = _is_soa(dynamics)
+        if dyn_ok:
+            n_dyn_p = _soa_param_count(dynamics)
+    n_cost_p = (_soa_param_count(cost)
+                if _is_soa_cost(cost) and not isinstance(cost, QuadCost)
+                else 0)
+    # the kernel unrolls dynamics + cost scalars from ONE SMEM row, so
+    # the budget applies to their sum
+    if n_dyn_p + n_cost_p > _MAX_SOA_PARAMS:
+        return False
+    # the fori-loop kernel runs for T > 128 OR param-heavy SoA models
+    # (see fused_batched_solve); its VMEM gate applies in both cases
+    long_kernel = (cfg.T > 128
+                   or n_dyn_p + n_cost_p > _UNROLL_PARAM_LIMIT)
     return (
         # slew runs through the host-side state augmentation (see
         # fused_batched_solve); non-quadratic costs are out of scope
@@ -136,15 +156,13 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
             # iteration; slew + non-quadratic cost is an error upstream
             # (reference mpc/mpc.py:451-457)
             or (_is_soa_cost(cost) and not isinstance(cost, QuadCost)
-                and _soa_param_budget_ok(cost)
                 and cfg.slew_rate_penalty is None))
         and dyn_ok
         and dtype == jnp.float32
-        # horizons <= 128 run the fully-unrolled kernel; longer horizons
-        # run the fori-loop kernel (_make_kernel_long) when their per-t
-        # state fits the VMEM budget; beyond that the jnp path handles it
-        and (cfg.T <= 128 or _long_fits(cfg, cost, dynamics, u_lower,
-                                        u_zero_I))
+        # the fori-loop kernel (_make_kernel_long) is bounded by the
+        # VMEM budget; beyond that the jnp path handles it
+        and (not long_kernel or _long_fits(cfg, cost, dynamics, u_lower,
+                                           u_zero_I))
     )
 
 
@@ -864,16 +882,14 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             return Ct, ct
 
         def read_C(t):
-            if cost_smem:
-                return [[C_ref[t, i * ntau + j] for j in range(ntau)]
-                        for i in range(ntau)]
-            return [[C_ref[t, i, j, 0] for j in range(ntau)]
+            # batched (non-SMEM) quadratic cost always streams in the
+            # long kernel (fused_batched_solve sets cost_stream), so
+            # only the SMEM layout reaches here
+            return [[C_ref[t, i * ntau + j] for j in range(ntau)]
                     for i in range(ntau)]
 
         def read_c(t):
-            if cost_smem:
-                return [c_ref[t, i] for i in range(ntau)]
-            return [c_ref[t, i, 0] for i in range(ntau)]
+            return [c_ref[t, i] for i in range(ntau)]
 
         def read_bounds(t):
             if bounds_smem:
@@ -952,18 +968,15 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             def read_F(t):
                 if dyn_stream:
                     return read_Ff(t)[0]
-                if dyn_smem:
-                    return [[F_ref[t, i * ntau + j] for j in range(ntau)]
-                            for i in range(ns)]
-                return [[F_ref[t, i, j, 0] for j in range(ntau)]
+                # batched LinDx always streams in the long kernel, so
+                # only the SMEM layout reaches here
+                return [[F_ref[t, i * ntau + j] for j in range(ntau)]
                         for i in range(ns)]
 
             def read_f(t):
                 if not has_f:
                     return None
-                if dyn_smem:
-                    return [f_ref[t, i] for i in range(ns)]
-                return [f_ref[t, i, 0] for i in range(ns)]
+                return [f_ref[t, i] for i in range(ns)]
 
             def dyn_step(t, xs, us):
                 # t is clamped by callers to [0, T-2]

@@ -54,14 +54,38 @@ def _compare(cfg, x0, cost, dx, lb, ub, atol=5e-4):
 
 
 def test_soa_step_matches_call():
-    """soa_step (lane-component form) is bit-exact vs __call__ for every
-    activation."""
+    """soa_step (lane-component form) matches __call__ for every
+    activation (sigmoid goes through the tanh form in the SoA path for
+    JVP stability, so it matches to float tolerance, not bitwise)."""
     for act in ('sigmoid', 'relu', 'elu'):
         dx, x0, _ = _problem(act=act)
         xs = tuple(x0[0][i] for i in range(3))
         got = jnp.stack(dx.soa_step(xs, jnp.float32(0.3), dx.soa_params()))
         want = dx(x0[0], jnp.asarray([0.3], jnp.float32))
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+
+def test_soa_sigmoid_jvp_stable_when_saturated():
+    """Saturated pre-activations (|v| >> 88) must give finite Jacobians
+    in the SoA path - the naive 1/(1+exp(-v)) overflows and its JVP is
+    NaN."""
+    dx = NNDynamics.init(jax.random.PRNGKey(1), 3, 1, hidden_sizes=(4,),
+                         activation='sigmoid', dtype=jnp.float32)
+    # scale the first layer so pre-activations saturate hard
+    (W0, b0), tail = dx.params[0], dx.params[1:]
+    dx = NNDynamics([(W0 * 500.0, b0 - 200.0)] + list(tail),
+                    'sigmoid', True, 3, 1)
+    xs = (jnp.float32(1.0), jnp.float32(-1.0), jnp.float32(2.0))
+
+    def step(xs_, u_):
+        return dx.soa_step(xs_, u_, dx.soa_params())
+
+    _, lin = jax.linearize(step, xs, jnp.float32(0.3))
+    for j in range(3):
+        col = lin(tuple(jnp.float32(1.0 if i == j else 0.0)
+                        for i in range(3)), jnp.float32(0.0))
+        assert all(np.isfinite(np.asarray(v)) for v in col), col
 
 
 def test_fused_nn_bounded():
@@ -106,3 +130,40 @@ def test_param_budget_gate():
     assert supports(cfg, cost, dx)
     big = NNDynamics.init(jax.random.PRNGKey(0), 3, 1, hidden_sizes=(100,))
     assert not supports(cfg, cost, big)
+
+
+def test_combined_param_budget_gate():
+    """The kernel unrolls dynamics + cost scalars from one SMEM row, so
+    the 512 budget applies to their SUM."""
+    dx = NNDynamics.init(jax.random.PRNGKey(0), 3, 1, hidden_sizes=(32,))
+    assert dx.soa_param_count() <= 512
+
+    class FatCost:
+        def __call__(self, tau):
+            return jnp.sum(tau ** 2)
+
+        def soa_params(self):
+            return tuple(jnp.float32(0.0) for _ in range(300))
+
+        def soa_cost(self, xs, us, params):
+            return sum(v * v for v in xs) + us * us
+
+    assert not supports(_cfg(5), FatCost(), dx)
+
+
+def test_long_kernel_vmem_gate_at_short_T():
+    """Param-heavy SoA models route through the fori-loop kernel even
+    at T <= 128, so its VMEM budget must gate dispatch there too
+    (ns=8, nc=4 at T=64 exceeds it)."""
+    import dataclasses
+    ns, nc = 8, 4
+    dx = NNDynamics.init(jax.random.PRNGKey(0), ns, nc, hidden_sizes=(16,))
+    assert 64 < dx.soa_param_count() <= 512
+    C = jnp.eye(ns + nc, dtype=jnp.float32)
+    c = jnp.zeros(ns + nc, jnp.float32)
+    cfg = dataclasses.replace(_cfg(64), n_state=ns, n_ctrl=nc)
+    assert not supports(cfg, QuadCost(C, c), dx)
+    # the same model at small T stays on the unrolled kernel? no - the
+    # param-count routing is T-independent, but a short horizon fits
+    cfg2 = dataclasses.replace(_cfg(8), n_state=ns, n_ctrl=nc)
+    assert supports(cfg2, QuadCost(C, c), dx)

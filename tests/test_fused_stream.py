@@ -93,6 +93,39 @@ def test_streamed_dynamics_and_cost_matches_jnp():
                                atol=5e-5)
 
 
+def test_streamed_multitile_order_invariance():
+    """B=2048 = TWO grid tiles: each grid program must stream ITS OWN
+    (g, t) slices from the packed HBM layout (a wrong grid-axis
+    placement would read tile 0's costs everywhere and still pass every
+    single-tile test)."""
+    B, T, ns, nc = 2048, 132, 3, 1
+    rng = np.random.RandomState(2)
+    M = rng.randn(ns, ns).astype(np.float32)
+    Qo, _ = np.linalg.qr(M)
+    F = np.tile(np.concatenate(
+        [(0.97 * Qo).astype(np.float32),
+         0.3 * rng.randn(ns, nc).astype(np.float32)], 1), (T - 1, B, 1, 1))
+    F += 0.01 * rng.randn(T - 1, B, ns, ns + nc).astype(np.float32)
+    cost = _batched_cost(T, B, ns + nc, rng)
+    dyn = LinDx(jnp.asarray(F), None)
+    x0 = rng.randn(B, ns).astype(np.float32)
+    cfg = _cfg(T)
+    lb, ub = jnp.float32(-0.6), jnp.float32(0.6)
+
+    def solve(x, c, d):
+        return np.asarray(fused_batched_solve(
+            cfg, jnp.asarray(x), c, d, u_lower=lb, u_upper=ub,
+            interpret=True).u)
+
+    u = solve(x0, cost, dyn)
+    perm = rng.permutation(B)
+    inv = np.argsort(perm)
+    cost_p = QuadCost(cost.C[:, perm], cost.c[:, perm])
+    dyn_p = LinDx(dyn.F[:, perm], None)
+    up = solve(x0[perm], cost_p, dyn_p)[:, inv]
+    np.testing.assert_array_equal(u, up)
+
+
 def test_streamed_cost_pendulum_matches_jnp():
     """SoA dynamics + streamed batched cost at T=140."""
     B, T = 16, 140
