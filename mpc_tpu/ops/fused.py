@@ -927,6 +927,12 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                 def step(xs, us):
                     return soa_step(tuple(xs), tuple(us), params)
 
+            def read_dyn_data(t):
+                return None
+
+            def dyn_step_from(data, xs, us):
+                return list(step(xs, us))
+
             def dyn_step(t, xs, us):
                 return list(step(xs, us))
 
@@ -978,13 +984,14 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                     return None
                 return [f_ref[t, i] for i in range(ns)]
 
-            def dyn_step(t, xs, us):
+            def read_dyn_data(t):
                 # t is clamped by callers to [0, T-2]
                 if dyn_stream:
-                    Ft, fv = read_Ff(t)
-                else:
-                    Ft = read_F(t)
-                    fv = read_f(t)
+                    return read_Ff(t)
+                return read_F(t), read_f(t)
+
+            def dyn_step_from(data, xs, us):
+                Ft, fv = data
                 tau = list(xs) + list(us)
                 out = []
                 for i in range(ns):
@@ -995,6 +1002,9 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                         s = s + fv[i]
                     out.append(s)
                 return out
+
+            def dyn_step(t, xs, us):
+                return dyn_step_from(read_dyn_data(t), xs, us)
 
             def dyn_F(t, xs, us):
                 return read_F(t)
@@ -1009,14 +1019,21 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                 def cost_eval(xs, us):
                     return soa_cost(tuple(xs), tuple(us), cparams)
 
-        def stage_cost(t, xs, us):
+        def read_cost_data(t):
+            if cost_mode == 'soa':
+                return None
+            if cost_stream:
+                return read_Cc(t)
+            return read_C(t), read_c(t)
+
+        def stage_cost_from(data, xs, us):
             if cost_mode == 'soa':
                 return cost_eval(xs, us)
-            if cost_stream:
-                Ct, ct = read_Cc(t)
-                return _quad_lin_cost(Ct, ct, list(xs) + list(us))
-            return _quad_lin_cost(read_C(t), read_c(t),
-                                  list(xs) + list(us))
+            Ct, ct = data
+            return _quad_lin_cost(Ct, ct, list(xs) + list(us))
+
+        def stage_cost(t, xs, us):
+            return stage_cost_from(read_cost_data(t), xs, us)
 
         def cost_quad(xs, us):
             """(H, g) of the SoA cost at (xs, us); see the short
@@ -1232,18 +1249,14 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                                 unroll=t_unroll)
             return out[3]
 
-        def new_ctrl(t, dxt, u_old, alpha):
-            Kt = read_K(t)
-            kt = read_k(t)
+        def _ctrl_from(Kt, kt, lbt, ubt, uzt, dxt, u_old, alpha):
             ut = []
             for m in range(nc):
                 v = (sum(Kt[m][j] * dxt[j] for j in range(ns))
                      + u_old[m] + alpha * kt[m])
                 if has_uz:
-                    uzt = read_uz(t)
                     v = jnp.where((uzt[m] + zero) > 0.5, 0.0, v)
                 if has_bounds:
-                    lbt, ubt = read_bounds(t)
                     lo_f, hi_f = lbt[m], ubt[m]
                     if delta_u is not None:
                         lo_f = jnp.maximum(u_old[m] - delta_u, lo_f)
@@ -1252,8 +1265,59 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                 ut.append(v)
             return ut
 
-        def rollout_cost(alpha):
-            """Cost-only trial rollout; returns (cost, ||du||^2)."""
+        def new_ctrl(t, dxt, u_old, alpha):
+            Kt = read_K(t)
+            kt = read_k(t)
+            uzt = read_uz(t) if has_uz else None
+            lbt, ubt = read_bounds(t) if has_bounds else (None, None)
+            return _ctrl_from(Kt, kt, lbt, ubt, uzt, dxt, u_old, alpha)
+
+        n_a = len(alphas)
+        # fuse the per-alpha trial rollouts into one horizon loop when
+        # the dynamics evaluation is cheap (LinDx / few-param SoA):
+        # sharing the loop amortizes per-t reads/DMAs and gives the VPU
+        # n_a independent chains (+28% streamed LinDx, +14% T=256
+        # pendulum).  Param-heavy MLP dynamics spill registers when
+        # evaluated n_a times per body, so they keep one loop per alpha.
+        fuse_alphas = (dyn_mode == 'lindx'
+                       or n_params + n_cost_params <= _UNROLL_PARAM_LIMIT)
+
+        def rollout_cost_all():
+            """All line-search trial rollouts in ONE horizon loop (see
+            ``fuse_alphas``).  Per-alpha accumulation order matches the
+            one-rollout-per-alpha form exactly.  Returns (costs per
+            alpha, ||du||^2 at alpha_0)."""
+            def fstep(t, carry):
+                xts, costs, du2 = carry
+                x_old = read_x(t)
+                u_old = read_u(t)
+                Kt = read_K(t)
+                kt = read_k(t)
+                uzt = read_uz(t) if has_uz else None
+                lbt, ubt = read_bounds(t) if has_bounds else (None, None)
+                cdata = read_cost_data(t)
+                ddata = read_dyn_data(jnp.minimum(t, T - 2))
+                new_xts = []
+                new_costs = []
+                for ai, a in enumerate(alphas):
+                    dxt = [xts[ai][i] - x_old[i] for i in range(ns)]
+                    ut = _ctrl_from(Kt, kt, lbt, ubt, uzt, dxt, u_old, a)
+                    new_costs.append(
+                        costs[ai] + stage_cost_from(cdata, xts[ai], ut))
+                    if ai == 0:
+                        for m in range(nc):
+                            d = u_old[m] - ut[m]
+                            du2 = du2 + d * d
+                    new_xts.append(dyn_step_from(ddata, xts[ai], ut))
+                return (new_xts, new_costs, du2)
+
+            init = ([list(x0) for _ in range(n_a)], [zero] * n_a, zero)
+            _, costs, du2 = lax.fori_loop(0, T, fstep, init,
+                                          unroll=t_unroll)
+            return costs, du2
+
+        def rollout_cost_one(alpha):
+            """Single-alpha trial rollout (the non-fused form)."""
             def fstep(t, carry):
                 xt, cost, du2 = carry
                 x_old = read_x(t)
@@ -1264,13 +1328,24 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                 for m in range(nc):
                     d = u_old[m] - ut[m]
                     du2 = du2 + d * d
-                tm = jnp.minimum(t, T - 2)
-                xn = dyn_step(tm, xt, ut)   # unused past t = T-2
+                xn = dyn_step(jnp.minimum(t, T - 2), xt, ut)
                 return (xn, cost, du2)
 
             out = lax.fori_loop(0, T, fstep, (list(x0), zero, zero),
                                 unroll=t_unroll)
             return out[1], out[2]
+
+        def rollout_costs():
+            if fuse_alphas:
+                return rollout_cost_all()
+            costs = []
+            du2 = None
+            for ki, a in enumerate(alphas):
+                cost_a, d2 = rollout_cost_one(a)
+                costs.append(cost_a)
+                if ki == 0:
+                    du2 = d2
+            return costs, du2
 
         def rollout_commit(alpha, active, take_best):
             """Re-roll with the per-lane selected alpha, merging into the
@@ -1324,22 +1399,16 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             qp_cnt = riccati()
             old_cost = cost_cur
 
-            found = zero > one
-            sel_alpha = None
-            sel_cost = None
-            full_du = None
-            for ki, a in enumerate(alphas):
-                cost_a, du2 = rollout_cost(a)
-                if ki == 0:
-                    full_du = jnp.sqrt(du2)
-                    sel_alpha = zero + a
-                    sel_cost = cost_a
-                    found = cost_a <= old_cost
-                else:
-                    take = ~found
-                    sel_alpha = jnp.where(take, a, sel_alpha)
-                    sel_cost = jnp.where(take, cost_a, sel_cost)
-                    found = found | (take & (cost_a <= old_cost))
+            costs_all, du2 = rollout_costs()
+            full_du = jnp.sqrt(du2)
+            sel_alpha = zero + alphas[0]
+            sel_cost = costs_all[0]
+            found = costs_all[0] <= old_cost
+            for ki in range(1, n_a):
+                take = ~found
+                sel_alpha = jnp.where(take, alphas[ki], sel_alpha)
+                sel_cost = jnp.where(take, costs_all[ki], sel_cost)
+                found = found | (take & (costs_all[ki] <= old_cost))
 
             first = it == 0
             improved = sel_cost <= best_cost + best_cost_eps
