@@ -158,6 +158,93 @@ def test_parity_pendulum_solve():
     assert err <= 1e-3, f'pendulum control parity {err:.2e} > 1e-3'
 
 
+class _TorchCartpole(torch.nn.Module):
+    """The reference cartpole forward (mpc/env_dx/cartpole.py:63-96)
+    re-stated for the parity test (gym-free)."""
+
+    def __init__(self):
+        super().__init__()
+        self.params = torch.tensor([9.8, 1.0, 0.1, 0.5],
+                                   dtype=torch.float64)
+        self.force_mag = 100.
+        self.dt = 0.05
+
+    def forward(self, state, u):
+        gravity, masscart, masspole, length = torch.unbind(self.params)
+        total_mass = masspole + masscart
+        polemass_length = masspole * length
+        u = torch.clamp(u[:, 0], -self.force_mag, self.force_mag)
+        x, dx, cos_th, sin_th, dth = torch.unbind(state, dim=1)
+        th = torch.atan2(sin_th, cos_th)
+        cart_in = (u + polemass_length * dth ** 2 * sin_th) / total_mass
+        th_acc = (gravity * sin_th - cos_th * cart_in) / \
+            (length * (4. / 3. - masspole * cos_th ** 2 / total_mass))
+        xacc = cart_in - polemass_length * th_acc * cos_th / total_mass
+        x = x + self.dt * dx
+        dx = dx + self.dt * xacc
+        th = th + self.dt * dth
+        dth = dth + self.dt * th_acc
+        return torch.stack((x, dx, torch.cos(th), torch.sin(th), dth), 1)
+
+
+def test_parity_cartpole_model_step():
+    """Dynamics parity: one step of our CartpoleDx equals the
+    reference's (mpc/env_dx/cartpole.py:63-96)."""
+    from mpc_tpu.models import CartpoleDx
+
+    dx = CartpoleDx()
+    tc = _TorchCartpole()
+    npr.seed(5)
+    th = np.pi * (2 * npr.random(16) - 1)
+    x = np.stack([0.5 * npr.randn(16), 0.5 * npr.randn(16),
+                  np.cos(th), np.sin(th), 0.5 * npr.randn(16)], axis=1)
+    u = 20.0 * npr.randn(16, 1)
+    ours = np.asarray(dx(jnp.asarray(x), jnp.asarray(u)))
+    theirs = tc(torch.tensor(x), torch.tensor(u)).numpy()
+    npt.assert_allclose(ours, theirs, atol=1e-12)
+
+
+def test_parity_cartpole_solve():
+    """Full solve parity on the cartpole balance task (BASELINE config 3
+    shrunk): max-abs u error <= 1e-3 at the same horizon and iteration
+    budget."""
+    from mpc_tpu.models import CartpoleDx
+
+    n_batch, T = 3, 10
+    dx = CartpoleDx()
+    tc = _TorchCartpole()
+
+    npr.seed(6)
+    th = 0.5 * (2 * npr.random(n_batch) - 1)
+    x0 = np.stack([0.2 * npr.randn(n_batch), np.zeros(n_batch),
+                   np.cos(th), np.sin(th), np.zeros(n_batch)], axis=1)
+
+    q, p = dx.get_true_obj()
+    Q = np.diag(np.asarray(q))
+    pn = np.asarray(p)
+
+    tt = lambda a: torch.tensor(a, dtype=torch.float64)
+    _, u_ref, _ = ref_mpc.MPC(
+        5, 1, T, -100.0, 100.0,
+        lqr_iter=8, backprop=False, exit_unconverged=False,
+        detach_unconverged=False, verbose=-1, n_batch=n_batch,
+        eps=1e-4,
+        grad_method=RefGradMethods.AUTO_DIFF,
+        linesearch_decay=0.5, max_linesearch_iter=2)(
+        tt(x0), RefQuadCost(tt(Q), tt(pn)), tc.double())
+
+    _, u, _ = MPC(5, 1, T, -100.0, 100.0,
+                  lqr_iter=8, backprop=False, exit_unconverged=False,
+                  detach_unconverged=False, n_batch=n_batch,
+                  eps=1e-4,
+                  grad_method=GradMethods.AUTO_DIFF,
+                  linesearch_decay=0.5, max_linesearch_iter=2)(
+        jnp.asarray(x0), QuadCost(jnp.asarray(Q), jnp.asarray(pn)), dx)
+
+    err = np.abs(u_ref.detach().numpy() - np.asarray(u)).max()
+    assert err <= 1e-3, f'cartpole control parity {err:.2e} > 1e-3'
+
+
 class _RefTorchPendulum:
     """The reference's pendulum physics as a torch module
     (mpc/env_dx/pendulum.py:49-84, simple parameterization)."""
