@@ -77,14 +77,13 @@ class CartpoleDx:
         return tuple(self.params[i] for i in range(4))
 
     def soa_step(self, xs, u, params):
-        from ..ops.math import atan2, hard_clip
+        from ..ops.math import hard_clip
         gravity, masscart, masspole, length = params
         total_mass = masspole + masscart
         polemass_length = masspole * length
 
         u = hard_clip(u, -self.force_mag, self.force_mag)
         x, dx, cos_th, sin_th, dth = xs
-        th = atan2(sin_th, cos_th)
 
         cart_in = (u + polemass_length * dth ** 2 * sin_th) / total_mass
         th_acc = (gravity * sin_th - cos_th * cart_in) / (
@@ -93,9 +92,18 @@ class CartpoleDx:
 
         x = x + self.dt * dx
         dx = dx + self.dt * xacc
-        th = th + self.dt * dth
+        # angle addition instead of th = atan2(s, c); newth = th + d
+        # (same construction as PendulumDx.soa_step: mathematically
+        # identical to the reference's atan2 form, cartpole.py:78/90-91,
+        # but drops the expensive in-kernel atan2 polynomial; 1/hypot
+        # reproduces atan2's implicit renormalization)
+        delta = dth * self.dt
+        cd, sd = jnp.cos(delta), jnp.sin(delta)
+        inv_r = jax.lax.rsqrt(cos_th * cos_th + sin_th * sin_th)
+        new_cos = (cos_th * cd - sin_th * sd) * inv_r
+        new_sin = (sin_th * cd + cos_th * sd) * inv_r
         dth = dth + self.dt * th_acc
-        return (x, dx, jnp.cos(th), jnp.sin(th), dth)
+        return (x, dx, new_cos, new_sin, dth)
 
     def get_true_obj(self):
         """Diagonal quadratic balance objective

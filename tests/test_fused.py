@@ -298,3 +298,38 @@ def test_fused_slew_rate_lindx():
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(ref.x), np.asarray(fus.x),
                                atol=5e-4)
+
+
+def test_fused_cartpole_matches_jnp():
+    """Cartpole SoA step (5-state, angle-addition integration) through
+    the fused kernel vs the jnp path (which uses the arctan2 form).
+
+    Runs at T=130 so the fori-loop kernel is used: the fully-unrolled
+    5-state kernel takes XLA's CPU (interpret) pipeline 40+ minutes to
+    compile, while the fori body compiles in ~a minute.  The unrolled
+    5-state kernel is exercised on real TPU (Mosaic compiles it fine)
+    by the cartpole benchmark."""
+    from mpc_tpu.models import CartpoleDx
+    B, T = 16, 130
+    dx = CartpoleDx(params=jnp.array([9.8, 1.0, 0.1, 0.5], jnp.float32))
+    rng = np.random.RandomState(0)
+    th = 0.6 * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack(
+        [0.2 * rng.randn(B), np.zeros(B), np.cos(th), np.sin(th),
+         np.zeros(B)], 1), jnp.float32)
+    q, p = dx.get_true_obj()
+    C = jnp.diag(q).astype(jnp.float32)
+    c = jnp.asarray(p, jnp.float32)
+    cfg = dataclasses.replace(_cfg(T), n_state=5, linesearch_decay=0.5,
+                              lqr_iter=1, max_linesearch_iter=1)
+    ref = batched_solve(cfg, x0, QuadCost(C, c), dx,
+                        u_lower=jnp.float32(-100.),
+                        u_upper=jnp.float32(100.))
+    fus = fused_batched_solve(cfg, x0, QuadCost(C, c), dx,
+                              u_lower=jnp.float32(-100.),
+                              u_upper=jnp.float32(100.), interpret=True)
+    # controls span +-100, so the f32 tolerance scales with the range
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ref.costs),
+                               np.asarray(fus.costs), rtol=1e-4)
