@@ -92,16 +92,13 @@ class CartpoleDx:
 
         x = x + self.dt * dx
         dx = dx + self.dt * xacc
-        # angle addition instead of th = atan2(s, c); newth = th + d
-        # (same construction as PendulumDx.soa_step: mathematically
-        # identical to the reference's atan2 form, cartpole.py:78/90-91,
-        # but drops the expensive in-kernel atan2 polynomial; 1/hypot
-        # reproduces atan2's implicit renormalization)
-        delta = dth * self.dt
-        cd, sd = jnp.cos(delta), jnp.sin(delta)
-        inv_r = jax.lax.rsqrt(cos_th * cos_th + sin_th * sin_th)
-        new_cos = (cos_th * cd - sin_th * sd) * inv_r
-        new_sin = (sin_th * cd + cos_th * sd) * inv_r
+        # angle addition instead of th = atan2(s, c); newth = th + d -
+        # identical to the reference's atan2 form (cartpole.py:78/90-91)
+        # but without the in-kernel atan2 polynomial
+        # (ops/math.py:rotate_unit); note the integration uses the OLD
+        # dth, like the reference
+        from ..ops.math import rotate_unit
+        new_cos, new_sin = rotate_unit(cos_th, sin_th, dth * self.dt)
         dth = dth + self.dt * th_acc
         return (x, dx, new_cos, new_sin, dth)
 

@@ -87,17 +87,13 @@ class PendulumDx:
         if self.simple:
             newdth = dth + self.dt * (
                 -3. * g / (2. * l) * (-sin_th) + 3. * u / (m * l ** 2))
-            # angle addition instead of th = atan2(s, c); newth = th + d:
-            #   cos(newth) = (c cos d - s sin d) / hypot(c, s)
-            # mathematically identical to the reference's atan2 form
-            # (pendulum.py:70-80) but drops the expensive in-kernel
-            # atan2 polynomial; the 1/hypot factor reproduces atan2's
-            # implicit renormalization of a drifting (c, s) pair.
-            delta = newdth * self.dt
-            cd, sd = jnp.cos(delta), jnp.sin(delta)
-            inv_r = jax.lax.rsqrt(cos_th * cos_th + sin_th * sin_th)
-            new_cos = (cos_th * cd - sin_th * sd) * inv_r
-            new_sin = (sin_th * cd + cos_th * sd) * inv_r
+            # angle addition instead of th = atan2(s, c); newth = th + d
+            # - identical to the reference's atan2 form (pendulum.py:
+            # 70-80) but without the expensive in-kernel atan2
+            # polynomial (ops/math.py:rotate_unit)
+            from ..ops.math import rotate_unit
+            new_cos, new_sin = rotate_unit(cos_th, sin_th,
+                                           newdth * self.dt)
             return (new_cos, new_sin, newdth)
         th = atan2(sin_th, cos_th)
         sin_th_bias = jnp.sin(th + b)

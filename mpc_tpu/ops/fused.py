@@ -86,7 +86,11 @@ _MAX_SOA_PARAMS = 512
 
 def _soa_param_count(obj):
     """Number of SoA scalars, preferring a shape-based count
-    (``soa_param_count``) over materializing ``soa_params()``."""
+    (``soa_param_count``) over materializing ``soa_params()``.
+    A custom ``soa_param_count`` MUST equal ``len(soa_params())``:
+    dispatch (supports) and kernel routing (fused_batched_solve) both
+    use this function, so the gates stay consistent either way, but a
+    lying count mis-routes the problem."""
     try:
         n = getattr(obj, 'soa_param_count', None)
         if n is not None:
@@ -1651,9 +1655,13 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
     # the model T * (rollouts + linearize) times and Mosaic compile time
     # blows up (minutes for a hidden=16 MLP at T=20), while the long
     # kernel traces the horizon body once for a ~T-fold compile saving
-    # at a modest runtime cost
-    long_horizon = T > 128 or (n_params + n_cost_params
-                               > _UNROLL_PARAM_LIMIT)
+    # at a modest runtime cost.  Routing uses the same count source as
+    # supports() (_soa_param_count) so the VMEM gate stays consistent.
+    route_count = ((_soa_param_count(dynamics) if dyn_mode == 'soa'
+                    else 0)
+                   + (_soa_param_count(cost) if cost_mode == 'soa'
+                      else 0))
+    long_horizon = T > 128 or route_count > _UNROLL_PARAM_LIMIT
     extra = {}
     if long_horizon:
         scratch = [

@@ -14,6 +14,7 @@ use it on every backend.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _TAN_PI_8 = 0.4142135623730950
@@ -50,6 +51,25 @@ def hard_clip(x, lo, hi):
     cartpole.py:55; torch.clamp backward semantics).
     """
     return jnp.where(x < lo, lo, jnp.where(x > hi, hi, x))
+
+
+def rotate_unit(cos_th, sin_th, delta):
+    """Advance an angle's (cos, sin) representation by ``delta`` radians.
+
+    Mathematically identical to ``th = atan2(sin, cos); th += delta``
+    followed by re-taking cos/sin, but without the expensive in-kernel
+    atan2 polynomial: plain angle addition, with a 1/hypot factor
+    reproducing atan2's implicit renormalization of a drifting
+    (cos, sin) pair.  The degenerate point (0, 0) follows atan2's
+    convention (angle 0, i.e. treated as (1, 0)) instead of producing
+    rsqrt(0) = inf -> NaN."""
+    cd, sd = jnp.cos(delta), jnp.sin(delta)
+    r2 = cos_th * cos_th + sin_th * sin_th
+    deg = r2 < 1e-30
+    c = jnp.where(deg, 1.0, cos_th)
+    s = jnp.where(deg, 0.0, sin_th)
+    inv_r = jax.lax.rsqrt(jnp.where(deg, 1.0, r2))
+    return ((c * cd - s * sd) * inv_r, (s * cd + c * sd) * inv_r)
 
 
 def atan2(y, x):

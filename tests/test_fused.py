@@ -333,3 +333,27 @@ def test_fused_cartpole_matches_jnp():
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(ref.costs),
                                np.asarray(fus.costs), rtol=1e-4)
+
+
+def test_rotate_unit_degenerate():
+    """rotate_unit follows atan2's (0,0) -> angle-0 convention and
+    stays finite (rsqrt(0) would otherwise produce NaN); gradients are
+    finite too."""
+    from mpc_tpu.ops.math import rotate_unit
+    c, s = rotate_unit(jnp.float32(0.0), jnp.float32(0.0),
+                       jnp.float32(0.3))
+    np.testing.assert_allclose(float(c), np.cos(0.3), rtol=1e-6)
+    np.testing.assert_allclose(float(s), np.sin(0.3), rtol=1e-6)
+
+    g = jax.grad(lambda z: rotate_unit(z, jnp.float32(0.0),
+                                       jnp.float32(0.3))[0])(
+        jnp.float32(0.0))
+    assert np.isfinite(float(g))
+
+    # non-degenerate: matches the atan2 form to f32 roundoff
+    from mpc_tpu.ops.math import atan2
+    th = atan2(jnp.float32(0.8), jnp.float32(-0.6)) + 0.3
+    c2, s2 = rotate_unit(jnp.float32(-0.6), jnp.float32(0.8),
+                         jnp.float32(0.3))
+    np.testing.assert_allclose(float(c2), float(jnp.cos(th)), atol=1e-6)
+    np.testing.assert_allclose(float(s2), float(jnp.sin(th)), atol=1e-6)
