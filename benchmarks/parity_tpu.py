@@ -189,9 +189,46 @@ def check_sysid_gradients(B=128, T=8):
     assert np.isfinite(float(v1)) and d < 1e-2
 
 
+def check_soacost_gradients(B=256, T=8):
+    """Check [5]: learning non-quadratic COST parameters through the
+    fused phase 1 + KKT phase 2, vs central differences.  Near-upright
+    starts keep the controls interior (saturated bang-bang controls
+    carry zero gradient by active-set design, matching the reference)."""
+    from mpc_tpu.models import PseudoHuberCost
+
+    dx = PendulumDx(params=jnp.array([10., 1., 1.], jnp.float32))
+    rng = np.random.RandomState(10)
+    th = 0.3 * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1),
+                     jnp.float32)
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=12,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=True, linesearch_decay=0.2,
+                    max_linesearch_iter=3)
+
+    def loss(d):
+        cost = PseudoHuberCost(
+            w=jnp.asarray([1., 1., .1, .1], jnp.float32),
+            goal=jnp.asarray([1., 0., 0., 0.], jnp.float32), delta=d)
+        sol = batched_solve(cfg, x0, cost, dx, u_lower=-2.0, u_upper=2.0)
+        return jnp.sum(sol.u ** 2)
+
+    lf = jax.jit(loss)
+    g = float(jax.jit(jax.grad(loss))(jnp.float32(0.9)))
+    eps = 1e-2                       # f32 FD needs a coarse step
+    fd = (float(lf(jnp.float32(0.9 + eps)))
+          - float(lf(jnp.float32(0.9 - eps)))) / (2 * eps)
+    rel = abs(g - fd) / max(abs(fd), 1e-9)
+    print(f'[5] SoA-cost grads (d loss/d delta) fused vs FD: '
+          f'{g:.3f} vs {fd:.3f}, rel {rel:.2e}')
+    assert rel < 0.05
+
+
 if __name__ == '__main__':
     check_vs_reference()
     check_multictrl_box()
     check_shard_map()
     check_sysid_gradients()
+    check_soacost_gradients()
     print('ALL TPU PARITY CHECKS PASS')
