@@ -21,6 +21,69 @@ from .solver import solve_single
 from .types import MPCConfig, Solution
 
 
+def _cost_axes(cst):
+    """vmap in_axes for a cost: batch-shared arrays map with None."""
+    from .types import QuadCost
+    if not isinstance(cst, QuadCost):
+        return None
+    return QuadCost(1 if jnp.ndim(cst.C) == 4 else None,
+                    1 if jnp.ndim(cst.c) == 3 else None)
+
+
+def _dyn_axes(dyn):
+    from .types import LinDx
+    if not isinstance(dyn, LinDx):
+        return None
+    return LinDx(1 if jnp.ndim(dyn.F) == 4 else None,
+                 (1 if jnp.ndim(dyn.f) == 3 else None)
+                 if dyn.f is not None else None)
+
+
+def _phase2_kernel_bwd(cfg, x_init, cost, dynamics, sol1,
+                       u_lower, u_upper):
+    """Differentiable phase 2 with the fused KKT-backward kernel
+    (ops/fused_bwd.py): batched re-linearization/quadratization at the
+    solution (differentiable, so gradients reach cost/dynamics params
+    through the dC/dc/dF/df cotangents), then a batched custom_vjp
+    fixed point whose backward runs as ONE Pallas kernel instead of a
+    vmapped chain of small XLA ops."""
+    from .ops.fused_bwd import make_batched_fixed_point
+    from .solver import linearize_dynamics, quadratize_cost
+
+    T, ns, nc = cfg.T, cfg.n_state, cfg.n_ctrl
+    dtype = jnp.asarray(x_init).dtype
+    B = x_init.shape[0]
+    sg = jax.lax.stop_gradient
+    bx, bu = sg(sol1.x), sg(sol1.u)
+
+    def prep_one(x, u, cost_i, dyn_i):
+        F, f = linearize_dynamics(dyn_i, x, u, cfg.grad_method)
+        C, c, _ = quadratize_cost(cost_i, x, u)
+        return C, c, F, f
+
+    C, c, F, f = jax.vmap(
+        prep_one, in_axes=(1, 1, _cost_axes(cost), _dyn_axes(dynamics)),
+        out_axes=1)(bx, bu, cost, dynamics)
+
+    has_f = f is not None
+    f_arr = f if has_f else jnp.zeros((T - 1, B, ns), dtype)
+    has_bounds = u_lower is not None
+    if has_bounds:
+        lb = jnp.broadcast_to(jnp.asarray(u_lower, dtype), (T, B, nc))
+        ub = jnp.broadcast_to(jnp.asarray(u_upper, dtype), (T, B, nc))
+    else:
+        lb = ub = jnp.zeros((T, B, nc), dtype)
+
+    fp = make_batched_fixed_point(ns, has_bounds, has_f)
+    x, u = fp(x_init, C, c, F, f_arr, lb, ub, bx, bu)
+
+    if cfg.detach_unconverged:
+        conv = sol1.converged[None, :, None]
+        x = jnp.where(conv, x, sg(x))
+        u = jnp.where(conv, u, sg(u))
+    return x, u
+
+
 def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
                   u_init=None, u_lower=None, u_upper=None,
                   u_zero_I=None, prev_ctrl=None) -> Solution:
@@ -44,21 +107,6 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
     overrides.
     """
     from .types import LinDx, QuadCost
-
-    # batch-shared (unbatched) cost/LinDx arrays and scalar bounds map
-    # with in_axes=None instead of being broadcast
-    def _cost_axes(cst):
-        if not isinstance(cst, QuadCost):
-            return None
-        return QuadCost(1 if jnp.ndim(cst.C) == 4 else None,
-                        1 if jnp.ndim(cst.c) == 3 else None)
-
-    def _dyn_axes(dyn):
-        if not isinstance(dyn, LinDx):
-            return None
-        return LinDx(1 if jnp.ndim(dyn.F) == 4 else None,
-                     (1 if jnp.ndim(dyn.f) == 3 else None)
-                     if dyn.f is not None else None)
 
     if cfg.use_fused != 'never':
         import dataclasses
@@ -103,6 +151,20 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
                 u_init=sg(u_init_f) if u_init_f is not None else None,
                 u_lower=sgt(u_lower), u_upper=sgt(u_upper),
                 u_zero_I=sgt(u_zero_I), prev_ctrl=sgt(prev_ctrl))
+
+            # phase 2: prefer the fused KKT-backward kernel (one Pallas
+            # kernel over the whole batch instead of a vmapped chain of
+            # small XLA ops); the vmapped jnp custom_vjp remains the
+            # fallback (slew, f64, VMEM-exceeding shapes)
+            from .ops import fused_bwd
+            if (cfg.slew_rate_penalty is None
+                    and fused_bwd.supports_bwd(cfg.T, cfg.n_state,
+                                               cfg.n_ctrl, dtype)):
+                with jax.default_matmul_precision(cfg.matmul_precision):
+                    x, u = _phase2_kernel_bwd(cfg, x_init, cost,
+                                              dynamics, sol1,
+                                              u_lower, u_upper)
+                return sol1._replace(x=x, u=u)
 
             lb2, ub2 = u_lower, u_upper
             if lb2 is not None and jnp.ndim(lb2) == 0:

@@ -33,8 +33,10 @@ def _problem(B, T, dtype=jnp.float32):
 
 
 def _spy(monkeypatch):
-    """Route fused_batched_solve through interpret mode and count calls."""
+    """Route fused_batched_solve (and the fused KKT-backward kernel)
+    through interpret mode and count calls."""
     from mpc_tpu.ops import fused as fused_mod
+    from mpc_tpu.ops import fused_bwd as fbwd_mod
 
     calls = []
     orig = fused_mod.fused_batched_solve
@@ -45,6 +47,14 @@ def _spy(monkeypatch):
         return orig(cfg, *a, **kw)
 
     monkeypatch.setattr(fused_mod, 'fused_batched_solve', spy)
+
+    orig_b = fbwd_mod.fused_kkt_backward
+
+    def spy_b(*a, **kw):
+        kw['interpret'] = True
+        return orig_b(*a, **kw)
+
+    monkeypatch.setattr(fbwd_mod, 'fused_kkt_backward', spy_b)
     return calls
 
 

@@ -1,0 +1,130 @@
+"""Fused KKT-backward kernel vs the jnp backward (interpret mode).
+
+The backward kernel (ops/fused_bwd.py) must reproduce the vmapped
+custom_vjp backward (ops/diff.py) on every input signature: the
+differential Riccati with the active set pinned, the differential
+rollout, the costate recursions, and the dC/dc/dF/df/dx_init gradient
+formulas (reference mpc/lqr_step.py:311-407).
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu import GradMethods, MPCConfig, QuadCost
+from mpc_tpu.learning import batched_solve
+from mpc_tpu.models import PendulumDx
+from mpc_tpu.ops.diff import make_lqr_fixed_point
+from mpc_tpu.ops.fused_bwd import make_batched_fixed_point
+
+
+def _vjp_case(ns, nc, T, B, has_bounds, has_f, seed):
+    """Random residuals; both layers compute the same pure function of
+    (C, c, F, lb, ub, x*, u*, cotangents)."""
+    ntau = ns + nc
+    rng = np.random.RandomState(seed)
+    Cr = rng.randn(T, B, ntau, ntau).astype(np.float32)
+    C = np.einsum('tbij,tbkj->tbik', Cr, Cr) + np.eye(
+        ntau, dtype=np.float32)
+    c = rng.randn(T, B, ntau).astype(np.float32)
+    F = 0.4 * rng.randn(T - 1, B, ns, ntau).astype(np.float32)
+    F[:, :, :, :ns] += np.eye(ns, dtype=np.float32)
+    f = 0.1 * rng.randn(T - 1, B, ns).astype(np.float32)
+    xs = rng.randn(T, B, ns).astype(np.float32)
+    us = rng.randn(T, B, nc).astype(np.float32)
+    if has_bounds:
+        m = rng.rand(T, B, nc) < 0.3      # ~30% exactly on a bound
+        us = np.where(m, np.sign(us), us).astype(np.float32)
+    lb = np.full((T, B, nc), -1.0, np.float32)
+    ub = np.full((T, B, nc), 1.0, np.float32)
+    gx = rng.randn(T, B, ns).astype(np.float32)
+    gu = rng.randn(T, B, nc).astype(np.float32)
+
+    args = (jnp.zeros((B, ns), jnp.float32), jnp.asarray(C),
+            jnp.asarray(c), jnp.asarray(F), jnp.asarray(f),
+            jnp.asarray(lb), jnp.asarray(ub), jnp.asarray(xs),
+            jnp.asarray(us))
+    cot = (jnp.asarray(gx), jnp.asarray(gu))
+
+    fp_ref = make_lqr_fixed_point(ns, has_bounds, has_f)
+    _, vjp_ref = jax.vjp(
+        jax.vmap(fp_ref, in_axes=(0, 1, 1, 1, 1, 1, 1, 1, 1),
+                 out_axes=(1, 1)), *args)
+    ref = vjp_ref(cot)
+
+    fp_k = make_batched_fixed_point(ns, has_bounds, has_f,
+                                    interpret=True)
+    _, vjp_k = jax.vjp(fp_k, *args)
+    got = vjp_k(cot)
+
+    for name, a, b in zip(('dx_init', 'dC', 'dc', 'dF', 'df'),
+                          ref[:5], got[:5]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        assert np.abs(a - b).max() / scale < 5e-4, \
+            (name, np.abs(a - b).max(), scale)
+
+
+def test_bwd_kernel_bounded():
+    _vjp_case(3, 1, 6, 16, has_bounds=True, has_f=True, seed=0)
+
+
+def test_bwd_kernel_unbounded_no_f():
+    _vjp_case(3, 1, 6, 16, has_bounds=False, has_f=False, seed=1)
+
+
+def test_bwd_kernel_multictrl():
+    _vjp_case(3, 4, 5, 16, has_bounds=True, has_f=True, seed=2)
+
+
+def test_end_to_end_gradients_match_jnp(monkeypatch):
+    """d loss / d (cost linear term, dynamics params) through
+    batched_solve: the fused phase-1 + kernel-backward path must match
+    the pure jnp path."""
+    from mpc_tpu.ops import fused as fused_mod
+    from mpc_tpu.ops import fused_bwd as fbwd_mod
+
+    orig = fused_mod.fused_batched_solve
+    monkeypatch.setattr(fused_mod, 'fused_batched_solve',
+                        lambda *a, **kw: orig(*a, **{**kw,
+                                                     'interpret': True}))
+    orig_b = fbwd_mod.fused_kkt_backward
+    monkeypatch.setattr(fbwd_mod, 'fused_kkt_backward',
+                        lambda *a, **kw: orig_b(*a, **{**kw,
+                                                       'interpret': True}))
+
+    B, T = 8, 5
+    dx = PendulumDx(params=jnp.array([10., 1., 1.], jnp.float32))
+    rng = np.random.RandomState(0)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1),
+                     jnp.float32)
+    q, p = dx.get_true_obj()
+    C = jnp.diag(q).astype(jnp.float32)
+    base = dict(n_state=3, n_ctrl=1, T=T, lqr_iter=2,
+                grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                exit_unconverged=False, detach_unconverged=False,
+                backprop=True, linesearch_decay=0.2,
+                max_linesearch_iter=2)
+
+    def loss(cv, params, cfg):
+        sol = batched_solve(cfg, x0, QuadCost(C, cv),
+                            PendulumDx(params=params),
+                            u_lower=jnp.float32(-2.),
+                            u_upper=jnp.float32(2.))
+        return jnp.sum(sol.u ** 2)
+
+    cv0 = jnp.asarray(p, jnp.float32)
+    p0 = jnp.array([10., 1., 1.], jnp.float32)
+    g_k = jax.grad(loss, argnums=(0, 1))(
+        cv0, p0, MPCConfig(**base, use_fused='always'))
+    g_j = jax.grad(loss, argnums=(0, 1))(
+        cv0, p0, MPCConfig(**base, use_fused='never'))
+    for name, a, b in zip(('dc', 'dparams'), g_j, g_k):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-9)
+        assert np.abs(a - b).max() / scale < 5e-3, \
+            (name, a, b)
