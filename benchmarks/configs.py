@@ -150,11 +150,12 @@ def bench_imitation(B=1024, T=10):
     def fn(state, x0, u_expert):
         st, loss = step(state, x0, u_expert)
         return loss
-    # >= 32 distinct pipelined calls: shorter chunks understate by ~2x
-    # through the tunnel (see BASELINE.md measurement note)
+    # >= 32 distinct pipelined calls AFTER the harness's 2-call warmup:
+    # shorter chunks understate by ~2x through the tunnel (see
+    # BASELINE.md measurement note)
     args_list = [(state, x, u_expert)
                  for (x,) in [(a[1],) for a in _perturb(
-                     rng, (u_expert, x0), index=1, n=32)]]
+                     rng, (u_expert, x0), index=1, n=34)]]
     dt = _time(fn, args_list)
     return {'metric': 'imitation_examples_per_sec',
             'value': round(B / dt, 1),

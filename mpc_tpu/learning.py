@@ -69,8 +69,16 @@ def _phase2_kernel_bwd(cfg, x_init, cost, dynamics, sol1,
     f_arr = f if has_f else jnp.zeros((T - 1, B, ns), dtype)
     has_bounds = u_lower is not None
     if has_bounds:
-        lb = jnp.broadcast_to(jnp.asarray(u_lower, dtype), (T, B, nc))
-        ub = jnp.broadcast_to(jnp.asarray(u_upper, dtype), (T, B, nc))
+        def to_TBn(b):
+            b = jnp.asarray(b, dtype)
+            if b.ndim == 0:                      # scalar
+                b = jnp.full((T, nc), b)
+            if b.ndim == 2:                      # batch-shared [T, nc]
+                b = b[:, None, :]
+            return jnp.broadcast_to(b, (T, B, nc))
+
+        lb = to_TBn(u_lower)
+        ub = to_TBn(u_upper)
     else:
         lb = ub = jnp.zeros((T, B, nc), dtype)
 
@@ -106,8 +114,6 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
     Everything else runs the vmapped jnp path.  ``cfg.use_fused``
     overrides.
     """
-    from .types import LinDx, QuadCost
-
     if cfg.use_fused != 'never':
         import dataclasses
 

@@ -49,10 +49,12 @@ def _bwd_vmem_bytes(T, ns, nc):
         + 2 * T * ntau                    # r (dl_dx+dl_du), dxu scratch
         + T * (ns + nc) * 2               # x*, u*, dx, du
         + T * nc                          # I mask
+        + T * nc * (ns + 1)               # K, k gain lists (full horizon)
+        + 2 * T * ns                      # lams, dlams (consumed by dF)
         + T * (ntau * ntau + ntau)        # dC, dc outputs
         + (T - 1) * (ns * ntau + ns)      # dF, df outputs
         + ns                              # dx_init
-        + 4 * ns * ns                     # V plus slack for lam/dlam
+        + 4 * ns * ns                     # V/Q working set slack
     )
     return tiles * SUB * LANE * 4
 

@@ -51,6 +51,7 @@ def _spy(monkeypatch):
     orig_b = fbwd_mod.fused_kkt_backward
 
     def spy_b(*a, **kw):
+        calls.append('bwd')
         kw['interpret'] = True
         return orig_b(*a, **kw)
 
@@ -94,6 +95,9 @@ def test_mpc_class_dispatches_fused_with_backprop(monkeypatch):
     g = jax.grad(loss)(c3)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+    # the differentiable solve must have used the fused KKT-backward
+    # kernel, not the vmapped jnp fallback
+    assert 'bwd' in calls
 
 
 def test_mpc_class_matches_jnp_path(monkeypatch):

@@ -128,3 +128,51 @@ def test_end_to_end_gradients_match_jnp(monkeypatch):
         scale = max(np.abs(a).max(), 1e-9)
         assert np.abs(a - b).max() / scale < 5e-3, \
             (name, a, b)
+
+
+def test_end_to_end_batch_shared_bounds(monkeypatch):
+    """[T, nc] batch-shared bounds through the kernel-backward path
+    (T != B so a wrong broadcast cannot silently alias the axes)."""
+    from mpc_tpu.ops import fused as fused_mod
+    from mpc_tpu.ops import fused_bwd as fbwd_mod
+
+    orig = fused_mod.fused_batched_solve
+    monkeypatch.setattr(fused_mod, 'fused_batched_solve',
+                        lambda *a, **kw: orig(*a, **{**kw,
+                                                     'interpret': True}))
+    orig_b = fbwd_mod.fused_kkt_backward
+    used = []
+
+    def spy_b(*a, **kw):
+        used.append(True)
+        return orig_b(*a, **{**kw, 'interpret': True})
+
+    monkeypatch.setattr(fbwd_mod, 'fused_kkt_backward', spy_b)
+
+    B, T = 8, 5
+    dx = PendulumDx(params=jnp.array([10., 1., 1.], jnp.float32))
+    rng = np.random.RandomState(1)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1),
+                     jnp.float32)
+    q, p = dx.get_true_obj()
+    C = jnp.diag(q).astype(jnp.float32)
+    lb = jnp.full((T, 1), -2.0, jnp.float32)
+    base = dict(n_state=3, n_ctrl=1, T=T, lqr_iter=2,
+                grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                exit_unconverged=False, detach_unconverged=False,
+                backprop=True, linesearch_decay=0.2,
+                max_linesearch_iter=2)
+
+    def loss(cv, cfg):
+        sol = batched_solve(cfg, x0, QuadCost(C, cv), dx,
+                            u_lower=lb, u_upper=-lb)
+        return jnp.sum(sol.u ** 2)
+
+    cv0 = jnp.asarray(p, jnp.float32)
+    g_k = jax.grad(loss)(cv0, MPCConfig(**base, use_fused='always'))
+    assert used, 'kernel backward was not dispatched'
+    g_j = jax.grad(loss)(cv0, MPCConfig(**base, use_fused='never'))
+    a, b = np.asarray(g_j), np.asarray(g_k)
+    scale = max(np.abs(a).max(), 1e-9)
+    assert np.abs(a - b).max() / scale < 5e-3, (a, b)
