@@ -32,8 +32,14 @@ from .utils.logging import table_log
 # structural flags, callable identities), so fresh MPC instances with the
 # same configuration - the common receding-horizon pattern of re-creating
 # the controller every env step (reference examples/gym_pendulum.py:92-95)
-# - reuse the compiled program instead of re-tracing.
-_SOLVER_CACHE = {}
+# - reuse the compiled program instead of re-tracing.  LRU-bounded like
+# parallel.mesh._SHARDED_CACHE: a long-lived process sweeping configs or
+# fresh lambda costs (whose ids key entries) must not pin compiled
+# programs forever.
+from collections import OrderedDict
+
+_SOLVER_CACHE = OrderedDict()
+_SOLVER_CACHE_MAX = 128
 
 
 def _is_data_pytree(obj):
@@ -139,7 +145,7 @@ class MPC:
                  parallel_linesearch=True,
                  use_fused='auto',
                  matmul_precision='float32',
-                 parallel_riccati=False,
+                 parallel_riccati='auto',
                  scan_unroll=4):
         assert (u_lower is None) == (u_upper is None)
         assert max_linesearch_iter > 0
@@ -325,18 +331,27 @@ class MPC:
         fn = self._get_solver(cfg, cost_b, dx_b, u_init, lb, uz, pc)
         sol = fn(x_init, cost_op, dx_op, u_init, lb, ub, uz, pc)
 
-        if cfg.verbose > 0:
-            # per-solve summary row with the reference's table columns
-            # (mpc/mpc.py:287-297); the per-iteration per-example stream
-            # is available via jax.debug.print inside the solver.
-            table_log('lqr', (
-                ('iter', int(jnp.max(sol.n_iter)) - 1),
-                ('mean(cost)', float(jnp.mean(sol.costs)), '{:.4e}'),
-                ('||full_du||_max', float(jnp.max(sol.full_du_norm)),
-                 '{:.2e}'),
-                ('mean(alphas)', float(jnp.mean(sol.alpha)), '{:.2e}'),
-                ('total_qp_iters', int(jnp.sum(sol.n_qp_iter))),
-            ))
+        if cfg.verbose > 0 and sol.iter_stats is not None:
+            # one table_log row per outer iteration, the reference's
+            # columns exactly (mpc/mpc.py:287-297), aggregated over the
+            # batch from the recorded per-iteration history.  Lanes that
+            # stopped early (per-example stopping) are NaN-padded and
+            # drop out of the aggregates.
+            stats = np.asarray(sol.iter_stats)      # [B, lqr_iter, 4]
+            for i in range(stats.shape[1]):
+                ran = ~np.isnan(stats[:, i, 0])
+                if not ran.any():
+                    break
+                table_log('lqr', (
+                    ('iter', i),
+                    ('mean(cost)', float(np.nanmean(stats[:, i, 0])),
+                     '{:.4e}'),
+                    ('||full_du||_max', float(np.nanmax(stats[:, i, 1])),
+                     '{:.2e}'),
+                    ('mean(alphas)', float(np.nanmean(stats[:, i, 2])),
+                     '{:.2e}'),
+                    ('total_qp_iters', int(np.nansum(stats[:, i, 3]))),
+                ))
         return sol
 
     # ----------------------------------------------------------------------
@@ -360,6 +375,7 @@ class MPC:
                jnp.ndim(uz) if uz is not None else None,
                jnp.ndim(pc) if pc is not None else None)
         if key in _SOLVER_CACHE:
+            _SOLVER_CACHE.move_to_end(key)
             return _SOLVER_CACHE[key][0]
 
         def run(x_init, cost_op, dx_op, u_init, lb, ub, uz, pc):
@@ -373,6 +389,8 @@ class MPC:
         # keep refs to the callables so their ids (part of the key) stay
         # valid for the cache lifetime
         _SOLVER_CACHE[key] = (fn, cost_call, dx_call)
+        while len(_SOLVER_CACHE) > _SOLVER_CACHE_MAX:
+            _SOLVER_CACHE.popitem(last=False)
         return fn
 
     def _analytic_check(self, x_init, dynamics, u_init, dtype):

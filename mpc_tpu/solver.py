@@ -294,6 +294,9 @@ class _OuterState(NamedTuple):
     n_not_improved: jax.Array
     n_qp_total: jax.Array
     alpha: jax.Array
+    # [lqr_iter, 4] per-iteration (best_cost, du_norm, alpha, n_qp),
+    # NaN-padded; carried only at verbose > 0 (None otherwise)
+    iter_stats: Any = None
 
 
 def solve_single(cfg: MPCConfig, x_init, cost, dynamics,
@@ -382,12 +385,18 @@ def _solve_single(cfg: MPCConfig, x_init, cost, dynamics,
         def upd(new, old):
             return jnp.where(take, new, old)
 
+        best_cost_new = jnp.where(take, fwd.cost_total, s.best_cost)
+        iter_stats = s.iter_stats
         if cfg.verbose > 0:
-            jax.debug.print(
-                'lqr iter {i}: cost={c:.4e} ||full_du||={d:.2e} '
-                'alpha={a:.2e} qp_iters={q}',
-                i=s.i, c=fwd.cost_total, d=fwd.full_du_norm,
-                a=fwd.alpha, q=n_qp)
+            # per-iteration history row: the reference's table columns
+            # per outer iteration (mpc/mpc.py:287-297); aggregated over
+            # the batch and printed by MPC.solve after the solve
+            row = jnp.stack([
+                best_cost_new, fwd.full_du_norm, fwd.alpha,
+                n_qp.astype(dtype)]).astype(dtype)
+            iter_stats = lax.dynamic_update_slice(
+                s.iter_stats, row[None],
+                (s.i, jnp.zeros_like(s.i)))
 
         return _OuterState(
             i=s.i + 1,
@@ -395,12 +404,13 @@ def _solve_single(cfg: MPCConfig, x_init, cost, dynamics,
             u=fwd.new_u,
             best_x=upd(fwd.new_x, s.best_x),
             best_u=upd(fwd.new_u, s.best_u),
-            best_cost=jnp.where(take, fwd.cost_total, s.best_cost),
+            best_cost=best_cost_new,
             best_du_norm=jnp.where(take, fwd.full_du_norm, s.best_du_norm),
             cur_du_norm=fwd.full_du_norm,
             n_not_improved=n_not_improved,
             n_qp_total=s.n_qp_total + n_qp,
             alpha=fwd.alpha,
+            iter_stats=iter_stats,
         )
 
     def cond(s: _OuterState):
@@ -421,6 +431,8 @@ def _solve_single(cfg: MPCConfig, x_init, cost, dynamics,
         n_not_improved=jnp.asarray(0, jnp.int32),
         n_qp_total=jnp.asarray(0, jnp.int32),
         alpha=jnp.asarray(1.0, dtype),
+        iter_stats=(jnp.full((cfg.lqr_iter, 4), jnp.nan, dtype)
+                    if cfg.verbose > 0 else None),
     )
     out = lax.while_loop(cond, body, init)
 
@@ -440,7 +452,8 @@ def _solve_single(cfg: MPCConfig, x_init, cost, dynamics,
         x=x, u=u, costs=out.best_cost,
         full_du_norm=out.best_du_norm,
         n_iter=out.i, n_qp_iter=out.n_qp_total,
-        converged=converged, alpha=out.alpha)
+        converged=converged, alpha=out.alpha,
+        iter_stats=out.iter_stats)
 
 
 def fixed_point_phase(cfg: MPCConfig, x_init, cost, dynamics,

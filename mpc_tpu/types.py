@@ -64,6 +64,11 @@ class Solution(NamedTuple):
     # over-decay correction (mpc/lqr_step.py:247-252); the reference's
     # scalar ``mean_alphas`` diagnostic is ``alpha.mean()`` over the batch
     alpha: jax.Array
+    # per-iteration history [lqr_iter, 4] of (best_cost, full_du_norm,
+    # alpha, n_qp_iter), NaN-padded past the executed iterations.
+    # Recorded only at verbose > 0 (feeds the reference's per-iteration
+    # table_log rows, mpc/mpc.py:287-297); None otherwise.
+    iter_stats: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,13 +119,13 @@ class MPCConfig:
     # O(log T)-depth associative-scan Riccati (ops/pscan.py) for the
     # exact LQR solves (the differentiable fixed point + KKT backward)
     # AND the unconstrained phase-1 subproblem gains.  False = always
-    # sequential; True = always parallel; 'auto' = parallel when
-    # T >= 128 (the measured crossover).  Constrained (box QP) steps
-    # always run sequentially.  Exact to ~1e-12 in float64; the f32
-    # combines are partially pivoted (ops/pscan.py:_lsolve) but long
-    # products can still lose ~1e-4 on ill-conditioned problems, so
-    # prefer f64 for oracle work.
-    parallel_riccati: Any = False
+    # sequential; True = always parallel; 'auto' (default) = parallel
+    # when T >= 128 (the measured crossover; a no-op for every T < 128
+    # config).  Constrained (box QP) steps always run sequentially.
+    # Exact to ~1e-12 in float64; the f32 combines are partially pivoted
+    # (ops/pscan.py:_lsolve) but long products can still lose ~1e-4 on
+    # ill-conditioned problems, so prefer f64 for oracle work.
+    parallel_riccati: Any = 'auto'
 
     def __post_init__(self):
         assert self.max_linesearch_iter > 0

@@ -27,7 +27,9 @@ def finite_mask(solution):
     downstream consumers of a batched solve."""
     masks = []
     for name, leaf in zip(solution._fields, solution):
-        if leaf is None or not jnp.issubdtype(
+        # iter_stats is NaN-padded by design (verbose history), not a
+        # numerical-health signal
+        if leaf is None or name == 'iter_stats' or not jnp.issubdtype(
                 jnp.asarray(leaf).dtype, jnp.floating):
             continue
         a = jnp.asarray(leaf)

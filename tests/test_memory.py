@@ -48,6 +48,36 @@ def test_solver_cache_bounded():
         f'identical re-created controllers')
 
 
+def test_solver_cache_lru_bound_under_config_churn():
+    """Sweeping distinct configs / fresh lambda costs must not pin
+    compiled programs forever: the cache is LRU-bounded
+    (round-2 verdict item 9; mirrors _SHARDED_CACHE's discipline)."""
+    B = 2
+    th = np.linspace(-2, 2, B)
+    x = jnp.asarray(np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1))
+    from mpc_tpu import LinDx
+
+    F = jnp.tile(0.9 * jnp.eye(3, 4)[None], (5, 1, 1))
+    dx_lin = LinDx(F, None)
+
+    prev_max = mpc_mod._SOLVER_CACHE_MAX
+    mpc_mod._SOLVER_CACHE_MAX = 4
+    try:
+        for i in range(8):
+            C = jnp.tile(jnp.eye(4)[None], (6, 1, 1))
+            c = jnp.zeros((6, 4))
+            # distinct config (eps varies) AND fresh cost arrays
+            ctrl = MPC(3, 1, 6, lqr_iter=1, n_batch=B, eps=1e-7 * (i + 1),
+                       grad_method=GradMethods.AUTO_DIFF,
+                       exit_unconverged=False, backprop=False,
+                       max_linesearch_iter=2)
+            ctrl.solve(x, QuadCost(C, c), dx_lin)
+        assert len(mpc_mod._SOLVER_CACHE) <= 4, (
+            f'cache has {len(mpc_mod._SOLVER_CACHE)} entries, LRU bound 4')
+    finally:
+        mpc_mod._SOLVER_CACHE_MAX = prev_max
+
+
 def test_sharded_cache_bounded():
     from mpc_tpu import MPCConfig
     from mpc_tpu.parallel import make_mesh, solve_sharded
