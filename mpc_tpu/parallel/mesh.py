@@ -85,13 +85,17 @@ def _pytree_operands(obj):
 
 def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
                   u_init=None, u_lower=None, u_upper=None,
+                  u_zero_I=None, prev_ctrl=None,
                   axis_name: str = 'batch') -> Solution:
     """Solve a sharded scenario batch on a device mesh.
 
     ``x_init`` is batch-major [B, n_state]; QuadCost / LinDx / bounds /
     u_init arrays are time-major [T, B, ...] (batch-shared cost arrays
-    and scalar bounds are replicated).  The batch is sharded over the
-    mesh with ``shard_map`` and each device runs the identical LOCAL
+    and scalar bounds are replicated).  ``u_zero_I`` is [T, n_ctrl]
+    shared or [T, B, n_ctrl] batched; ``prev_ctrl`` is [n_ctrl] or
+    [B, n_ctrl] - the same feature surface as ``learning.batched_solve``
+    (reference knobs mpc/mpc.py:79-80,141).  The batch is sharded over
+    the mesh with ``shard_map`` and each device runs the identical LOCAL
     solver - including the fused Pallas kernel when in scope - on its
     shard: embarrassingly parallel, zero collectives (SURVEY.md
     section 2.3 and BASELINE north star).
@@ -160,6 +164,11 @@ def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
     if u_lower is not None and not static_bounds:
         add('lb', u_lower, batch_ax(u_lower, 3))
         add('ub', u_upper, batch_ax(u_upper, 3))
+    if u_zero_I is not None:
+        add('uz', jnp.asarray(u_zero_I, bool), batch_ax(u_zero_I, 3))
+    if prev_ctrl is not None:
+        add('pc', prev_ctrl,
+            0 if jnp.ndim(prev_ctrl) == 2 else None)
 
     if cost_tree is not None:
         cost_key = ('tree', cost_tree[1])
@@ -204,10 +213,14 @@ def solve_sharded(cfg, mesh: Mesh, x_init, cost, dynamics,
             dyn_l = dynamics
         lb_l = lb_static if static_bounds else pick('lb')
         ub_l = ub_static if static_bounds else pick('ub')
-        return batched_solve(
+        sol = batched_solve(
             cfg, arrs[0], cost_l, dyn_l,
             u_init=pick('u_init'),
-            u_lower=lb_l, u_upper=ub_l)
+            u_lower=lb_l, u_upper=ub_l,
+            u_zero_I=pick('uz'), prev_ctrl=pick('pc'))
+        # the per-iteration verbose history is a host-logging aid; it
+        # has no sharded consumer and would need its own out_spec
+        return sol._replace(iter_stats=None)
 
     out_specs = Solution(
         x=P(None, axis_name), u=P(None, axis_name),
