@@ -125,6 +125,70 @@ def main():
     print(f'GRAD_SUM {float(np.sum(gvec)):.10e}', flush=True)
     print(f'LOSS_ERR {lerr:.3e}', flush=True)
     print(f'GRAD_ERR {gerr:.3e}', flush=True)
+
+    # ---- weak-scaling efficiency proxy ---------------------------------
+    # Fixed per-process load: a 1-process baseline on this process's
+    # local devices vs the 2-process run at double the global batch.
+    # Hardware is unavailable, so this is a *structural* proxy: it
+    # bounds the overhead the multi-host program structure itself adds
+    # (global dispatch, sharded layouts, and - for the gradient - the
+    # cross-process Gloo psum), not ICI/DCN link performance
+    # (BASELINE north star: >=85% 1->N-host efficiency on real pods).
+    import time
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    # per-process examples: large enough that per-step COMPUTE dominates
+    # the fixed per-execution sync latency (Gloo + multi-controller
+    # dispatch, ~10-20ms on this rig); at tiny batches the proxy would
+    # measure that fixed latency, not the program structure
+    Bw = 1024
+    reps = rng.randint(0, B_global, size=2 * Bw)
+    x_g_np = x0_full[reps]                   # global batch, 2*Bw
+    ue_g_np = u_expert_full[:, reps]
+    x_l_np = x_g_np[pid * Bw:(pid + 1) * Bw]  # this process's share
+    ue_l_np = ue_g_np[:, pid * Bw:(pid + 1) * Bw]
+
+    def timeit(fn, *args, n=4):
+        jax.block_until_ready(fn(*args))     # compile + warm
+        # min over repeats: robust to scheduler noise on a contended
+        # CI box (the whole suite may be running alongside)
+        best = float('inf')
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def loss_fn(th, x, ue):
+        return imitation_loss(th, cfg_bp, x, ue, make_cost,
+                              make_dynamics, u_lower=-2.0, u_upper=2.0)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    # 1-process baseline: Bw examples over the 2 local devices
+    lmesh = Mesh(np.asarray(jax.local_devices()), ('chips',))
+    x_l = jax.device_put(jnp.asarray(x_l_np),
+                         NamedSharding(lmesh, P('chips')))
+    ue_l = jax.device_put(jnp.asarray(ue_l_np),
+                          NamedSharding(lmesh, P(None, 'chips')))
+    th_l = jax.device_put(theta0, NamedSharding(lmesh, P()))
+    with jax.sharding.set_mesh(lmesh):
+        t_local = timeit(grad_fn, th_l, x_l, ue_l)
+
+    # 2-process run: 2*Bw examples over the 4-device pod mesh; the
+    # mean-loss gradient psum is the cross-process collective
+    x_g2 = dist.shard_global_batch(x_l_np, mesh)
+    ue_g2 = dist.shard_global_batch(ue_l_np, mesh,
+                                    batch_axis_by_rank={3: 1})
+    th_g = dist.replicate(theta0, mesh)
+    with jax.sharding.set_mesh(mesh):
+        t_global = timeit(grad_fn, th_g, x_g2, ue_g2)
+
+    eff = t_local / t_global
+    print(f'T_LOCAL_US {t_local * 1e6:.1f}', flush=True)
+    print(f'T_GLOBAL_US {t_global * 1e6:.1f}', flush=True)
+    print(f'WEAK_EFF {eff:.3f}', flush=True)
     print('WORKER_OK', flush=True)
 
 

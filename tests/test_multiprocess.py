@@ -65,3 +65,15 @@ def test_two_process_pod_mesh():
     # both processes see the identical reduced loss and gradient
     assert field(outs[0], 'LOSS') == field(outs[1], 'LOSS')
     assert field(outs[0], 'GRAD_SUM') == field(outs[1], 'GRAD_SUM')
+
+    # weak-scaling efficiency proxy: fixed per-process load, 1-process
+    # local-mesh baseline vs the 2-process pod run.  A structural bound
+    # only (virtual CPU devices + Gloo, not ICI) - the floor is loose
+    # to tolerate CI noise while still catching structural regressions
+    # (e.g. an accidental all-gather of the batch).
+    for i, out in enumerate(outs):
+        eff = float(field(out, 'WEAK_EFF'))
+        print(f'worker {i}: weak-scaling efficiency {eff:.3f} '
+              f'(local {field(out, "T_LOCAL_US")}us vs '
+              f'global {field(out, "T_GLOBAL_US")}us)')
+        assert eff > 0.2, f'worker {i} weak-scaling efficiency {eff}'
