@@ -44,6 +44,15 @@ _ACTS_SOA = {
     'elu': lambda v: jnp.where(v > 0, v, jnp.exp(v) - 1.0),
 }
 
+# derivative from the *pre*-activation v in the same Mosaic-lowerable
+# forms (the streaming in-kernel path computes act and act' from one v)
+_ACT_DERIV_SOA = {
+    'sigmoid': lambda v: (lambda s: s * (1.0 - s))(
+        0.5 * (jnp.tanh(0.5 * v) + 1.0)),
+    'relu': lambda v: jnp.where(v > 0, v * 0.0 + 1.0, v * 0.0),
+    'elu': lambda v: jnp.where(v > 0, v * 0.0 + 1.0, jnp.exp(v)),
+}
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -138,6 +147,92 @@ class NNDynamics:
             out.extend(W[i, j] for i in range(n_out) for j in range(n_in))
             out.extend(b[i] for i in range(n_out))
         return tuple(out)
+
+    def soa_params_flat(self):
+        """Flat [n_params] array in ``soa_params()`` order (one
+        concatenate instead of n_params scalar slices - the host-side
+        feed for the kernel's SMEM param buffer)."""
+        return jnp.concatenate(
+            [jnp.concatenate([W.reshape(-1), b]) for W, b in self.params])
+
+    # -- param-streaming protocol (fused kernel, large MLPs) ---------------
+    # The tuple path above unrolls one kernel instruction per weight,
+    # which caps at _MAX_SOA_PARAMS scalars (Mosaic compile time +
+    # register pressure).  For bigger MLPs - e.g. the reference's
+    # default hidden=100 (mpc/dynamics.py:9-13), ~800 params - the
+    # kernel instead streams the weights: a lax.fori_loop over hidden
+    # units reads each scalar from SMEM via ``pread`` (dynamic index)
+    # and accumulates both the step output and the analytic input
+    # Jacobian with O(1) live lane registers, so neither compile time
+    # nor register pressure scales with the hidden width.  The Jacobian
+    # is the in-kernel analog of the reference's ``grad_input`` reverse
+    # product (mpc/dynamics.py:81-130), fused into the same pass.
+    @property
+    def soa_streaming(self):
+        """Streaming form exists for single-hidden-layer MLPs (the
+        reference's default shape); deeper MLPs keep the tuple path."""
+        return len(self.params) == 2
+
+    def _stream_core(self, xs, u, pread, want_jac):
+        comps = list(xs) + (list(u) if isinstance(u, tuple) else [u])
+        ns = len(xs)
+        n_in = len(comps)
+        H = self.params[0][0].shape[0]
+        act = _ACTS_SOA[self.activation]
+        dact = _ACT_DERIV_SOA[self.activation]
+        b1_off = H * n_in
+        w2_off = H * (n_in + 1)
+        b2_off = w2_off + ns * H
+
+        zero = comps[0] * 0.0
+
+        def body(k, carry):
+            acc, J = carry
+            w1 = [pread(k * n_in + i) for i in range(n_in)]
+            v = w1[0] * comps[0]
+            for i in range(1, n_in):
+                v = v + w1[i] * comps[i]
+            v = v + pread(b1_off + k)
+            h = act(v)
+            d = dact(v) if want_jac else None
+            acc_n = []
+            for j in range(ns):
+                w2 = pread(w2_off + j * H + k)
+                acc_n.append(acc[j] + w2 * h)
+                if want_jac:
+                    wd = w2 * d
+                    for i in range(n_in):
+                        J[j][i] = J[j][i] + wd * w1[i]
+            return acc_n, J
+
+        J0 = [[zero for _ in range(n_in)] for _ in range(ns)] \
+            if want_jac else [[]]
+        # accumulate from exact zero so the k-ordered sum reproduces
+        # the tuple path's accumulation order (0 + x == x in f32)
+        from jax import lax
+        acc, J = lax.fori_loop(0, H, body, ([zero] * ns, J0),
+                               unroll=False)
+        out = [acc[j] + pread(b2_off + j) for j in range(ns)]
+        if self.passthrough:
+            out = [out[j] + comps[j] for j in range(ns)]
+            if want_jac:
+                for j in range(ns):
+                    J[j][j] = J[j][j] + 1.0
+        return tuple(out), J
+
+    def soa_stream_step(self, xs, u, pread):
+        """Streamed step: ``pread(i)`` returns flat param i (SMEM read
+        in-kernel).  Accumulates in ``soa_step``'s exact order (matches
+        to the last ulp up to compiler rewrites of the activation)."""
+        out, _ = self._stream_core(xs, u, pread, want_jac=False)
+        return out
+
+    def soa_stream_jac(self, xs, u, pread):
+        """Streamed analytic Jacobian: returns J as an ns x (ns+nc)
+        nested list, d x'_j / d (x, u)_i, fused with the forward pass
+        (reference grad_input, mpc/dynamics.py:81-130)."""
+        _, J = self._stream_core(xs, u, pread, want_jac=True)
+        return J
 
     def soa_step(self, xs, u, params):
         comps = list(xs) + (list(u) if isinstance(u, tuple) else [u])

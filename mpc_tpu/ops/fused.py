@@ -78,10 +78,25 @@ def _is_soa(dynamics):
 
 # SoA params ride SMEM as individual scalars and every use unrolls into
 # kernel instructions; beyond this many scalars COMBINED across
-# dynamics and cost (e.g. the reference's default hidden=100 NNDynamics
-# MLP) Mosaic compile time and register pressure outweigh the fusion
-# win - dispatch falls back to jnp
+# dynamics and cost, Mosaic compile time and register pressure outweigh
+# the fusion win - dispatch falls back to jnp.  Models that implement
+# the param-STREAMING protocol (``soa_stream_step``/``soa_stream_jac``,
+# e.g. NNDynamics single-hidden MLPs - including the reference's
+# default hidden=100, mpc/dynamics.py:9-13) escape this cap: the kernel
+# reads their weights from SMEM with dynamic indices inside a
+# lax.fori_loop over hidden units, so neither compile time nor register
+# pressure scales with the parameter count; only SMEM capacity bounds
+# them (_MAX_STREAM_PARAMS).
 _MAX_SOA_PARAMS = 512
+_MAX_STREAM_PARAMS = 16384
+
+
+def _dyn_streams(dynamics, n_dyn_p):
+    """Whether the dynamics runs the param-streaming kernel path:
+    streaming form available AND big enough that the tuple unroll would
+    hurt (small models keep the faster fully-unrolled path)."""
+    return (getattr(dynamics, 'soa_streaming', False)
+            and n_dyn_p > _UNROLL_PARAM_LIMIT)
 
 
 def _soa_param_count(obj):
@@ -130,8 +145,13 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
                 if _is_soa_cost(cost) and not isinstance(cost, QuadCost)
                 else 0)
     # the kernel unrolls dynamics + cost scalars from ONE SMEM row, so
-    # the budget applies to their sum
-    if n_dyn_p + n_cost_p > _MAX_SOA_PARAMS:
+    # the budget applies to their sum; param-streaming dynamics escape
+    # the unroll budget (only cost params still unroll) and are bounded
+    # by SMEM capacity instead
+    if _dyn_streams(dynamics, n_dyn_p):
+        if n_dyn_p > _MAX_STREAM_PARAMS or n_cost_p > _MAX_SOA_PARAMS:
+            return False
+    elif n_dyn_p + n_cost_p > _MAX_SOA_PARAMS:
         return False
     # the fori-loop kernel runs for T > 128 OR param-heavy SoA models
     # (see fused_batched_solve); its VMEM gate applies in both cases
@@ -388,7 +408,7 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                       for t in range(T)]
 
         if dyn_mode == 'soa':
-            params = tuple(params_ref[0, k] for k in range(n_params))
+            params = tuple(params_ref[k, 0] for k in range(n_params))
 
             # SoA models with nc == 1 take the control as a bare vector
             if nc == 1:
@@ -433,7 +453,7 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
         big = zero + jnp.float32(3.0e38)
 
         if cost_mode == 'soa':
-            cparams = tuple(params_ref[0, n_params + k]
+            cparams = tuple(params_ref[n_params + k, 0]
                             for k in range(n_cost_params))
             if nc == 1:
                 def cost_eval(xs, us):
@@ -829,7 +849,8 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                       bounds_smem=True, dyn_smem=True, has_uz=False,
                       uz_smem=True, t_unroll=1,
                       cost_mode='quad', soa_cost=None, n_cost_params=0,
-                      cost_stream=False, dyn_stream=False):
+                      cost_stream=False, dyn_stream=False,
+                      soa_stream_step=None, soa_stream_jac=None):
     """Same solver as ``_make_kernel`` but with the horizon as a
     ``lax.fori_loop`` instead of a Python unroll, so T is bounded by the
     VMEM budget (see ``_long_vmem_bytes``) instead of Mosaic compile
@@ -921,8 +942,49 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             return [k_ref[t, m] for m in range(nc)]
 
         # ---- dynamics ----------------------------------------------------
-        if dyn_mode == 'soa':
-            params = tuple(params_ref[0, k] for k in range(n_params))
+        if dyn_mode == 'soa_stream':
+            # param-streaming SoA model: the model itself loops over
+            # hidden units with lax.fori_loop, reading each weight from
+            # SMEM via ``pread`` (dynamic index) and fusing the step
+            # with its analytic input Jacobian - O(1) live registers
+            # and O(1) compiled instructions regardless of the
+            # parameter count (vs the tuple path's one-instruction-per-
+            # weight unroll).  The Jacobian replaces jax.linearize (the
+            # in-kernel analog of the reference's grad_input,
+            # mpc/dynamics.py:81-130).
+            def pread(i):
+                return params_ref[i, 0]
+
+            if nc == 1:
+                def step(xs, us):
+                    return soa_stream_step(tuple(xs), us[0], pread)
+
+                def jac(xs, us):
+                    return soa_stream_jac(tuple(xs), us[0], pread)
+            else:
+                def step(xs, us):
+                    return soa_stream_step(tuple(xs), tuple(us), pread)
+
+                def jac(xs, us):
+                    return soa_stream_jac(tuple(xs), tuple(us), pread)
+
+            def read_dyn_data(t):
+                return None
+
+            def dyn_step_from(data, xs, us):
+                return list(step(xs, us))
+
+            def dyn_step(t, xs, us):
+                return list(step(xs, us))
+
+            def dyn_F(t, xs, us):
+                Jt = jac(xs, us)
+                # broadcast any scalar entries (slew passthrough rows)
+                # to lane tiles so the Riccati carry types stay uniform
+                return [[Jt[i][j] + zero for j in range(ntau)]
+                        for i in range(ns)]
+        elif dyn_mode == 'soa':
+            params = tuple(params_ref[k, 0] for k in range(n_params))
 
             if nc == 1:
                 def step(xs, us):
@@ -1014,7 +1076,7 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                 return read_F(t)
 
         if cost_mode == 'soa':
-            cparams = tuple(params_ref[0, n_params + k]
+            cparams = tuple(params_ref[n_params + k, 0]
                             for k in range(n_cost_params))
             if nc == 1:
                 def cost_eval(xs, us):
@@ -1218,7 +1280,7 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             # 0-d (SMEM-scalar quadratic cost => scalar Kt) - broadcast
             # the peeled carry.  The all-SMEM LinDx case is scalar on
             # both sides and must stay scalar (the TVLQR fast path).
-            if ((dyn_mode == 'soa' or not dyn_smem)
+            if ((dyn_mode != 'lindx' or not dyn_smem)
                     and cost_mode == 'quad' and cost_smem
                     and not has_bounds and not has_uz):
                 V = [[V[i][j] + zero for j in range(ns)]
@@ -1576,26 +1638,43 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         if not has_f:
             f = dummy_smem
             f_spec = _smem((1, 1))
-        plist = []
         soa_step = None
+        dyn_flat = []
+        n_dyn_params = 0
     else:
-        dyn_mode = 'soa'
         dyn_smem = False
         has_f = False
         F = dummy_smem
         f = dummy_smem
         F_spec = _smem((1, 1))
         f_spec = _smem((1, 1))
-        plist = list(dynamics.soa_params())
         soa_step = dynamics.soa_step
+        n_dyn_params = _soa_param_count(dynamics)
+        if _dyn_streams(dynamics, n_dyn_params):
+            dyn_mode = 'soa_stream'
+        else:
+            dyn_mode = 'soa'
+        if hasattr(dynamics, 'soa_params_flat'):
+            dyn_flat = [jnp.asarray(dynamics.soa_params_flat(),
+                                    dtype).reshape(-1)]
+        else:
+            dyn_flat = [jnp.stack([jnp.asarray(p, dtype)
+                                   for p in dynamics.soa_params()])]
+        assert int(dyn_flat[0].shape[0]) == n_dyn_params
 
     # dynamics params first, cost params after (the kernel reads cost
     # params at offset n_params)
-    n_params = len(plist)
+    n_params = n_dyn_params
     n_cost_params = len(cplist)
-    all_params = plist + cplist
-    params = (jnp.stack([jnp.asarray(p, dtype) for p in all_params])[None]
-              if all_params else dummy_smem)
+    if cplist:
+        dyn_flat.append(jnp.stack([jnp.asarray(p, dtype)
+                                   for p in cplist]))
+    # COLUMN layout (P, 1): the streaming path reads params with a
+    # dynamic index, and Mosaic only lowers dynamic SMEM loads cheaply
+    # on the LEADING axis (a dynamic minor index stalls its compile,
+    # like the DMA mid-axis case)
+    params = (jnp.concatenate(dyn_flat)[:, None] if dyn_flat
+              else dummy_smem)
 
     # ---- initial controls / bounds -----------------------------------------
     if u_init is None:
@@ -1657,8 +1736,7 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
     # kernel traces the horizon body once for a ~T-fold compile saving
     # at a modest runtime cost.  Routing uses the same count source as
     # supports() (_soa_param_count) so the VMEM gate stays consistent.
-    route_count = ((_soa_param_count(dynamics) if dyn_mode == 'soa'
-                    else 0)
+    route_count = ((n_dyn_params if dyn_mode != 'lindx' else 0)
                    + (_soa_param_count(cost) if cost_mode == 'soa'
                       else 0))
     long_horizon = T > 128 or route_count > _UNROLL_PARAM_LIMIT
@@ -1704,8 +1782,12 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                            dtype),
                 pltpu.SemaphoreType.DMA,
             ]
-        kernel = _make_kernel_long(**common, cost_stream=cost_stream,
-                                   dyn_stream=dyn_stream)
+        kernel = _make_kernel_long(
+            **common, cost_stream=cost_stream, dyn_stream=dyn_stream,
+            soa_stream_step=(dynamics.soa_stream_step
+                             if dyn_mode == 'soa_stream' else None),
+            soa_stream_jac=(dynamics.soa_stream_jac
+                            if dyn_mode == 'soa_stream' else None))
         extra = dict(
             scratch_shapes=scratch,
             # u0 aliases the u-output buffer (it IS the initial best_u),
@@ -1713,13 +1795,16 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
             input_output_aliases={6: 1},
         )
     else:
+        # streaming models always exceed _UNROLL_PARAM_LIMIT and route
+        # long; the unrolled kernel has no streaming path
+        assert dyn_mode != 'soa_stream'
         kernel = _make_kernel(**common)
 
     xs, us, stats = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
-            _smem((1, max(1, n_params + n_cost_params))),
+            _smem((max(1, n_params + n_cost_params), 1)),
             C_spec,
             c_spec,
             F_spec,
@@ -1773,12 +1858,52 @@ class _SlewSoA:
     def soa_params(self):
         return self._dyn.soa_params()
 
+    def soa_param_count(self):
+        return _soa_param_count(self._dyn)
+
     def soa_step(self, xs, u, params):
         nc = self._nc
         xn = self._dyn.soa_step(tuple(xs[nc:]), u, params)
         if nc == 1:
             return (u,) + tuple(xn)
         return tuple(u) + tuple(xn)
+
+    # -- streaming passthrough (large MLPs; see NNDynamics) ---------------
+    @property
+    def soa_streaming(self):
+        return getattr(self._dyn, 'soa_streaming', False)
+
+    def soa_params_flat(self):
+        if hasattr(self._dyn, 'soa_params_flat'):
+            return self._dyn.soa_params_flat()
+        return jnp.stack([jnp.asarray(p)
+                          for p in self._dyn.soa_params()])
+
+    def soa_stream_step(self, xs, u, pread):
+        nc = self._nc
+        xn = self._dyn.soa_stream_step(tuple(xs[nc:]), u, pread)
+        if nc == 1:
+            return (u,) + tuple(xn)
+        return tuple(u) + tuple(xn)
+
+    def soa_stream_jac(self, xs, u, pread):
+        """Jacobian of the augmented step (u_t, f(x_t, u_t)) w.r.t. the
+        augmented tau ((u_{t-1}, x_t), u_t): the first nc rows pick u_t,
+        the inner Jacobian shifts right past the u_{t-1} block (the
+        in-kernel analog of CtrlPassthroughDynamics' grad_input,
+        reference mpc/dynamics.py:133-156)."""
+        nc = self._nc
+        Ji = self._dyn.soa_stream_jac(tuple(xs[nc:]), u, pread)
+        ns = len(Ji)
+        zero = xs[0] * 0.0
+        one = zero + 1.0
+        rows = []
+        for m in range(nc):
+            rows.append([zero] * (nc + ns)
+                        + [one if i == m else zero for i in range(nc)])
+        for j in range(ns):
+            rows.append([zero] * nc + list(Ji[j]))
+        return rows
 
 
 def _fused_slew_solve(cfg, x_init, cost: QuadCost, dynamics,

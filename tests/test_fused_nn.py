@@ -123,32 +123,132 @@ def test_fused_nn_slew():
 
 
 def test_param_budget_gate():
-    """The reference's default hidden=100 MLP (>512 scalars) falls back
-    to the jnp path; small MLPs are in scope."""
+    """Single-hidden MLPs of any practical width - including the
+    reference's default hidden=100 (mpc/dynamics.py:9-13) - are in
+    scope via the param-streaming path; DEEP MLPs (no streaming form)
+    still hit the 512-scalar tuple cap; absurd widths hit the SMEM
+    cap."""
     dx, x0, cost = _problem()
     cfg = _cfg(5)
     assert supports(cfg, cost, dx)
-    big = NNDynamics.init(jax.random.PRNGKey(0), 3, 1, hidden_sizes=(100,))
-    assert not supports(cfg, cost, big)
+    default = NNDynamics.init(jax.random.PRNGKey(0), 3, 1,
+                              hidden_sizes=(100,))
+    assert default.soa_streaming and default.soa_param_count() > 512
+    assert supports(cfg, cost, default)
+    deep = NNDynamics.init(jax.random.PRNGKey(0), 3, 1,
+                           hidden_sizes=(32, 32))
+    assert not deep.soa_streaming and deep.soa_param_count() > 512
+    assert not supports(cfg, cost, deep)
+    huge = NNDynamics.init(jax.random.PRNGKey(0), 3, 1,
+                           hidden_sizes=(8192,))
+    assert not supports(cfg, cost, huge)
+
+
+def test_stream_step_matches_tuple():
+    """soa_stream_step accumulates in the same order as soa_step
+    (0 + x == x), so the two match to the last ulp modulo compiler
+    rewrites inside the streamed loop (XLA fuses exp(v)-1 -> expm1 for
+    elu, a 1-ulp difference); relu/sigmoid are exact here."""
+    for act in ('sigmoid', 'relu', 'elu'):
+        dx = NNDynamics.init(jax.random.PRNGKey(2), 3, 1,
+                             hidden_sizes=(17,), activation=act,
+                             dtype=jnp.float32)
+        flat = dx.soa_params_flat()
+        assert flat.shape[0] == dx.soa_param_count()
+        xs = (jnp.float32(0.3), jnp.float32(-1.2), jnp.float32(0.7))
+        u = jnp.float32(0.5)
+        got = dx.soa_stream_step(xs, u, lambda i: flat[i])
+        want = dx.soa_step(xs, u, dx.soa_params())
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(float(g), float(w), rtol=3e-7,
+                                       atol=1e-7)
+
+
+def test_stream_jac_matches_linearize():
+    """soa_stream_jac (the fused analytic Jacobian) matches
+    jax.linearize of the tuple step - the two in-kernel Jacobian
+    sources the dispatch can pick between."""
+    for act in ('sigmoid', 'relu', 'elu'):
+        dx = NNDynamics.init(jax.random.PRNGKey(3), 3, 2,
+                             hidden_sizes=(23,), activation=act,
+                             dtype=jnp.float32)
+        flat = dx.soa_params_flat()
+        xs = (jnp.float32(0.3), jnp.float32(-1.2), jnp.float32(0.7))
+        u = (jnp.float32(0.5), jnp.float32(-0.4))
+        J = dx.soa_stream_jac(xs, u, lambda i: flat[i])
+
+        def step(xs_, u_):
+            return dx.soa_step(xs_, u_, dx.soa_params())
+
+        _, lin = jax.linearize(step, xs, u)
+        for j in range(3):
+            col = lin(tuple(jnp.float32(1.0 if i == j else 0.0)
+                            for i in range(3)),
+                      (jnp.float32(0.0),) * 2)
+            for i in range(3):
+                np.testing.assert_allclose(float(J[i][j]), float(col[i]),
+                                           atol=1e-6)
+        for j in range(2):
+            col = lin((jnp.float32(0.0),) * 3,
+                      tuple(jnp.float32(1.0 if i == j else 0.0)
+                            for i in range(2)))
+            for i in range(3):
+                np.testing.assert_allclose(float(J[i][3 + j]),
+                                           float(col[i]), atol=1e-6)
+
+
+def test_fused_nn_hidden100_streaming():
+    """The reference's default hidden=100 MLP runs IN-KERNEL through
+    the param-streaming path; interpret-mode equivalence vs the jnp
+    path (reference default: mpc/dynamics.py:9-13)."""
+    T = 5
+    dx, x0, cost = _problem(T=T, hidden=(100,))
+    assert supports(_cfg(T), cost, dx)
+    lb = jnp.full((T, 8, 1), -1.0, jnp.float32)
+    _compare(_cfg(T), x0, cost, dx, lb, -lb)
+
+
+def test_fused_nn_hidden100_slew_streaming():
+    """Slew augmentation composes with the streaming path (_SlewSoA
+    passthrough rows in the analytic Jacobian)."""
+    T = 4
+    dx, x0, cost = _problem(T=T, hidden=(100,))
+    lb = jnp.full((T, 8, 1), -1.0, jnp.float32)
+    _compare(_cfg(T, slew_rate_penalty=0.5), x0, cost, dx, lb, -lb)
 
 
 def test_combined_param_budget_gate():
     """The kernel unrolls dynamics + cost scalars from one SMEM row, so
-    the 512 budget applies to their SUM."""
-    dx = NNDynamics.init(jax.random.PRNGKey(0), 3, 1, hidden_sizes=(32,))
-    assert dx.soa_param_count() <= 512
+    the 512 budget applies to their SUM for non-streaming (tuple-path)
+    dynamics; a streaming-capable dynamics escapes the shared budget
+    (its weights never unroll) but the cost alone must still fit."""
 
     class FatCost:
+        def __init__(self, n):
+            self.n = n
+
         def __call__(self, tau):
             return jnp.sum(tau ** 2)
 
         def soa_params(self):
-            return tuple(jnp.float32(0.0) for _ in range(300))
+            return tuple(jnp.float32(0.0) for _ in range(self.n))
 
         def soa_cost(self, xs, us, params):
             return sum(v * v for v in xs) + us * us
 
-    assert not supports(_cfg(5), FatCost(), dx)
+    # deep MLP: no streaming form -> combined tuple budget applies
+    deep = NNDynamics.init(jax.random.PRNGKey(0), 3, 1,
+                           hidden_sizes=(16, 8))
+    assert not deep.soa_streaming and deep.soa_param_count() <= 512
+    room = 512 - deep.soa_param_count()
+    assert supports(_cfg(5), FatCost(room), deep)
+    assert not supports(_cfg(5), FatCost(room + 1), deep)
+
+    # streaming MLP: dynamics escape the budget, cost alone is capped
+    wide = NNDynamics.init(jax.random.PRNGKey(0), 3, 1,
+                           hidden_sizes=(100,))
+    assert supports(_cfg(5), FatCost(300), wide)
+    assert not supports(_cfg(5), FatCost(513), wide)
 
 
 def test_long_kernel_vmem_gate_at_short_T():
