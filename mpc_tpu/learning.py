@@ -42,13 +42,18 @@ def _dyn_axes(dyn):
 def _phase2_kernel_bwd(cfg, x_init, cost, dynamics, sol1,
                        u_lower, u_upper):
     """Differentiable phase 2 with the fused KKT-backward kernel
-    (ops/fused_bwd.py): batched re-linearization/quadratization at the
-    solution (differentiable, so gradients reach cost/dynamics params
-    through the dC/dc/dF/df cotangents), then a batched custom_vjp
-    fixed point whose backward runs as ONE Pallas kernel instead of a
-    vmapped chain of small XLA ops."""
+    (ops/fused_bwd.py): re-linearization/quadratization at the solution
+    (differentiable, so gradients reach cost/dynamics params through
+    the dC/dc/dF/df cotangents), then a batched custom_vjp fixed point
+    whose backward runs as ONE Pallas kernel instead of a vmapped chain
+    of small XLA ops.  Batch-shared quadratic costs / LinDx dynamics
+    stay UN-broadcast ([T, ...]): they ride the kernel's SMEM fast path
+    and their gradients come back batch-reduced straight from the
+    kernel - no [T, B, ntau, ntau] HBM materialization on either side
+    of the solve."""
     from .ops.fused_bwd import make_batched_fixed_point
     from .solver import linearize_dynamics, quadratize_cost
+    from .types import LinDx, QuadCost
 
     T, ns, nc = cfg.T, cfg.n_state, cfg.n_ctrl
     dtype = jnp.asarray(x_init).dtype
@@ -56,17 +61,35 @@ def _phase2_kernel_bwd(cfg, x_init, cost, dynamics, sol1,
     sg = jax.lax.stop_gradient
     bx, bu = sg(sol1.x), sg(sol1.u)
 
-    def prep_one(x, u, cost_i, dyn_i):
-        F, f = linearize_dynamics(dyn_i, x, u, cfg.grad_method)
-        C, c, _ = quadratize_cost(cost_i, x, u)
-        return C, c, F, f
+    cost_shared = isinstance(cost, QuadCost) and jnp.ndim(cost.C) <= 3
+    dyn_shared = isinstance(dynamics, LinDx) and jnp.ndim(dynamics.F) == 3
 
-    C, c, F, f = jax.vmap(
-        prep_one, in_axes=(1, 1, _cost_axes(cost), _dyn_axes(dynamics)),
-        out_axes=1)(bx, bu, cost, dynamics)
+    if cost_shared:
+        # quadratize is trajectory-independent for QuadCost; keep the
+        # shared [T, ntau, ntau] layout (the kernel reduces dC/dc)
+        C, c, _ = quadratize_cost(cost, bx[:, 0], bu[:, 0])
+    else:
+        C, c, _ = jax.vmap(
+            lambda x, u, cost_i: quadratize_cost(cost_i, x, u),
+            in_axes=(1, 1, _cost_axes(cost)), out_axes=1)(bx, bu, cost)
+    if dyn_shared:
+        F = jnp.asarray(dynamics.F, dtype)
+        f = (jnp.asarray(dynamics.f, dtype)
+             if dynamics.f is not None else None)
+    else:
+        F, f = jax.vmap(
+            lambda x, u, dyn_i: linearize_dynamics(dyn_i, x, u,
+                                                   cfg.grad_method),
+            in_axes=(1, 1, _dyn_axes(dynamics)), out_axes=1)(
+            bx, bu, dynamics)
 
     has_f = f is not None
-    f_arr = f if has_f else jnp.zeros((T - 1, B, ns), dtype)
+    if has_f:
+        f_arr = f
+    elif dyn_shared:
+        f_arr = jnp.zeros((T - 1, ns), dtype)
+    else:
+        f_arr = jnp.zeros((T - 1, B, ns), dtype)
     has_bounds = u_lower is not None
     if has_bounds:
         def to_TBn(b):
@@ -163,9 +186,15 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
             # small XLA ops); the vmapped jnp custom_vjp remains the
             # fallback (slew, f64, VMEM-exceeding shapes)
             from .ops import fused_bwd
+            from .types import QuadCost as _QC, LinDx as _LD
+            _cost_sh = isinstance(cost, _QC) and jnp.ndim(cost.C) <= 3
+            _dyn_sh = (isinstance(dynamics, _LD)
+                       and jnp.ndim(dynamics.F) == 3)
             if (cfg.slew_rate_penalty is None
                     and fused_bwd.supports_bwd(cfg.T, cfg.n_state,
-                                               cfg.n_ctrl, dtype)):
+                                               cfg.n_ctrl, dtype,
+                                               cost_shared=_cost_sh,
+                                               dyn_shared=_dyn_sh)):
                 with jax.default_matmul_precision(cfg.matmul_precision):
                     x, u = _phase2_kernel_bwd(cfg, x_init, cost,
                                               dynamics, sol1,
@@ -222,7 +251,8 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
         else None,
     )
     out_axes = Solution(x=1, u=1, costs=0, full_du_norm=0, n_iter=0,
-                        n_qp_iter=0, converged=0, alpha=0)
+                        n_qp_iter=0, converged=0, alpha=0,
+                        iter_stats=0 if cfg.verbose > 0 else None)
     return jax.vmap(one, in_axes=in_axes, out_axes=out_axes)(
         x_init, cost, dynamics, u_init, u_lower, u_upper, u_zero_I,
         prev_ctrl)

@@ -18,12 +18,19 @@ reference's per-example pinverse.  The active-set mask is computed by
 the caller (float, 1.0 = control pinned), so bounds never enter the
 kernel.
 
-Layouts: every operand is batched time-major ([T, B, ...]) and laid on
-the lanes like ops/fused.py (a tile of SUB*LANE examples per grid
-program).  Outputs are per-example gradients; the caller reduces over
-the batch where the primal was batch-shared (JAX's broadcast VJP does
-this automatically when the batched primal was materialized by a
-broadcast).
+Layouts mirror the forward kernel: operands may be batched time-major
+([T, B, ...], laid on the lanes - a tile of SUB*LANE examples per grid
+program) or BATCH-SHARED ([T, ...]), in which case they ride SMEM as
+scalars and - crucially - their gradients are REDUCED over the batch
+IN-KERNEL: each grid program emits per-tile partial sums of
+dC/dc/dF/df to small SMEM outputs, which the host sums over tiles.
+This removes the [T, B, ntau, ntau] HBM materializations (batched
+primal broadcast + per-example cotangents + XLA's reduction) that the
+batched-only layout paid for batch-shared costs/dynamics - the same
+HBM blowup the forward kernel's SMEM fast path engineered away.
+Cotangents (dl_dx, dl_du) are ZERO-padded to the tile, which makes
+every padded lane's contribution to the reduced sums exactly zero (the
+whole differential system is linear in r).
 """
 
 from __future__ import annotations
@@ -41,40 +48,58 @@ from .fused import (LANE, SUB, _chol_solve, _cholesky, _masked_free_chol,
 _BWD_VMEM_LIMIT = 11 * 2 ** 20
 
 
-def _bwd_vmem_bytes(T, ns, nc):
+def _bwd_vmem_bytes(T, ns, nc, cost_shared=False, dyn_shared=False):
     ntau = ns + nc
     tiles = (
-        T * (ntau * ntau + ntau)          # C, c
-        + (T - 1) * ns * ntau             # F
-        + 2 * T * ntau                    # r (dl_dx+dl_du), dxu scratch
+        2 * T * ntau                      # r (dl_dx+dl_du), dxu scratch
         + T * (ns + nc) * 2               # x*, u*, dx, du
         + T * nc                          # I mask
         + T * nc * (ns + 1)               # K, k gain lists (full horizon)
         + 2 * T * ns                      # lams, dlams (consumed by dF)
-        + T * (ntau * ntau + ntau)        # dC, dc outputs
-        + (T - 1) * (ns * ntau + ns)      # dF, df outputs
         + ns                              # dx_init
         + 4 * ns * ns                     # V/Q working set slack
     )
+    if not cost_shared:
+        tiles += 2 * T * (ntau * ntau + ntau)     # C, c in + dC, dc out
+    if not dyn_shared:
+        tiles += 2 * (T - 1) * (ns * ntau + ns)   # F in + dF, df out
     return tiles * SUB * LANE * 4
 
 
-def supports_bwd(T, ns, nc, dtype) -> bool:
-    """Static dispatch check for the fused backward."""
+def supports_bwd(T, ns, nc, dtype, cost_shared=False,
+                 dyn_shared=False) -> bool:
+    """Static dispatch check for the fused backward.  Batch-shared
+    cost/dynamics ride SMEM and their gradients reduce in-kernel, so
+    they do not count against the VMEM budget (extending the T reach
+    well past the all-batched layout's)."""
     return (dtype == jnp.float32
-            and _bwd_vmem_bytes(T, ns, nc) <= _BWD_VMEM_LIMIT)
+            and _bwd_vmem_bytes(T, ns, nc, cost_shared,
+                                dyn_shared) <= _BWD_VMEM_LIMIT)
 
 
-def _make_bwd_kernel(*, T, ns, nc, has_I, has_f):
+def _make_bwd_kernel(*, T, ns, nc, has_I, has_f, cost_shared,
+                     dyn_shared):
     ntau = ns + nc
 
     def kernel(C_ref, c_ref, F_ref, rx_ref, ru_ref, x_ref, u_ref, I_ref,
                dxi_ref, dC_ref, dc_ref, dF_ref, df_ref):
-        C = [[[C_ref[t, i, j, 0] for j in range(ntau)]
-              for i in range(ntau)] for t in range(T)]
-        cv = [[c_ref[t, i, 0] for i in range(ntau)] for t in range(T)]
-        Fm = [[[F_ref[t, i, j, 0] for j in range(ntau)]
-               for i in range(ns)] for t in range(T - 1)]
+        if cost_shared:
+            # batch-shared quadratic model: scalars from SMEM (no
+            # broadcast / VMEM streaming), like the forward kernel
+            C = [[[C_ref[t, i * ntau + j] for j in range(ntau)]
+                  for i in range(ntau)] for t in range(T)]
+            cv = [[c_ref[t, i] for i in range(ntau)] for t in range(T)]
+        else:
+            C = [[[C_ref[t, i, j, 0] for j in range(ntau)]
+                  for i in range(ntau)] for t in range(T)]
+            cv = [[c_ref[t, i, 0] for i in range(ntau)]
+                  for t in range(T)]
+        if dyn_shared:
+            Fm = [[[F_ref[t, i * ntau + j] for j in range(ntau)]
+                   for i in range(ns)] for t in range(T - 1)]
+        else:
+            Fm = [[[F_ref[t, i, j, 0] for j in range(ntau)]
+                   for i in range(ns)] for t in range(T - 1)]
         r = [[rx_ref[t, i, 0] for i in range(ns)]
              + [ru_ref[t, m, 0] for m in range(nc)] for t in range(T)]
         xs = [[x_ref[t, i, 0] for i in range(ns)] for t in range(T)]
@@ -196,15 +221,24 @@ def _make_bwd_kernel(*, T, ns, nc, has_I, has_f):
 
         # ---- dC, dc --------------------------------------------------
         # dC_t = -1/2 (dxu (x) xu + xu (x) dxu); dc = -dxu
-        # (reference mpc/lqr_step.py:346-353)
+        # (reference mpc/lqr_step.py:346-353).  Batch-shared primal:
+        # reduce over the tile in-kernel (padded lanes contribute
+        # exactly zero - their r is zero-padded and the differential
+        # system is linear in r).
         for t in range(T):
             dxu = dx[t] + du[t]
             xu = xs[t] + us[t]
             for i in range(ntau):
-                dc_ref[t, i, 0] = -dxu[i]
+                if cost_shared:
+                    dc_ref[0, t * ntau + i] = jnp.sum(-dxu[i])
+                else:
+                    dc_ref[t, i, 0] = -dxu[i]
                 for j in range(ntau):
-                    dC_ref[t, i, j, 0] = -0.5 * (
-                        dxu[i] * xu[j] + xu[i] * dxu[j])
+                    g = -0.5 * (dxu[i] * xu[j] + xu[i] * dxu[j])
+                    if cost_shared:
+                        dC_ref[0, (t * ntau + i) * ntau + j] = jnp.sum(g)
+                    else:
+                        dC_ref[t, i, j, 0] = g
 
         # ---- costate recursions (reverse time) -----------------------
         # (reference mpc/lqr_step.py:355-385)
@@ -236,10 +270,18 @@ def _make_bwd_kernel(*, T, ns, nc, has_I, has_f):
             xu = xs[t] + us[t]
             dxu = dx[t] + du[t]
             for i in range(ns):
-                df_ref[t, i, 0] = (-dlams[t + 1][i]) if has_f else zero
+                gf = (-dlams[t + 1][i]) if has_f else zero
+                if dyn_shared:
+                    df_ref[0, t * ns + i] = jnp.sum(gf)
+                else:
+                    df_ref[t, i, 0] = gf
                 for j in range(ntau):
-                    dF_ref[t, i, j, 0] = -(
-                        dlams[t + 1][i] * xu[j] + lams[t + 1][i] * dxu[j])
+                    g = -(dlams[t + 1][i] * xu[j]
+                          + lams[t + 1][i] * dxu[j])
+                    if dyn_shared:
+                        dF_ref[0, (t * ns + i) * ntau + j] = jnp.sum(g)
+                    else:
+                        dF_ref[t, i, j, 0] = g
         for i in range(ns):
             dxi_ref[i, 0] = -dlams[0][i]
 
@@ -251,31 +293,79 @@ def fused_kkt_backward(n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
                        interpret: bool = False):
     """Batched KKT backward through the fused kernel.
 
-    Layouts: C [T, B, ntau, ntau], c [T, B, ntau], F [T-1, B, ns, ntau],
-    x*/dl_dx [T, B, ns], u*/dl_du [T, B, nc], I_mask None or
-    [T, B, nc] (bool/float, truthy = active/pinned).  Returns
-    (dx_init [B, ns], dC, dc, dF, df) with per-example leading layouts
-    matching the inputs.
+    Layouts: C [T, B, ntau, ntau] or batch-shared [T, ntau, ntau]
+    (likewise c, F); x*/dl_dx [T, B, ns], u*/dl_du [T, B, nc], I_mask
+    None or [T, B, nc] (bool/float, truthy = active/pinned).  Returns
+    (dx_init [B, ns], dC, dc, dF, df) with layouts matching the
+    inputs: per-example for batched primals, REDUCED over the batch
+    (in-kernel partial sums + a host sum over tiles) for batch-shared
+    primals.
     """
-    T = c.shape[0]
-    B = c.shape[1]
-    ntau = c.shape[2]
+    T = x_star.shape[0]
+    B = x_star.shape[1]
     ns = n_state
-    nc = ntau - ns
+    nc = u_star.shape[2]
+    ntau = ns + nc
     dtype = jnp.float32
+
+    cost_shared = jnp.ndim(C) == 3
+    dyn_shared = jnp.ndim(F) == 3
 
     G = -(-B // (SUB * LANE))
     Bp = G * SUB * LANE
     pad = Bp - B
 
-    def prep(a):
+    def prep(a, zero_pad=False):
         a = jnp.asarray(a, dtype)
         if pad:
             widths = [(0, 0)] * a.ndim
             widths[1] = (0, pad)
-            a = jnp.pad(a, widths, mode='edge')
+            a = jnp.pad(a, widths,
+                        mode='constant' if zero_pad else 'edge')
         a = jnp.moveaxis(a, 1, -1)
         return a.reshape(a.shape[:-1] + (G, SUB, LANE))
+
+    if cost_shared:
+        Cv = jnp.asarray(C, dtype).reshape(T, ntau * ntau)
+        cvv = jnp.asarray(c, dtype)
+        C_spec = _smem((T, ntau * ntau))
+        c_spec = _smem((T, ntau))
+        # per-tile partial sums: SMEM outputs (G, ...), host-summed
+        dC_spec = pl.BlockSpec((1, T * ntau * ntau), lambda g: (g, 0),
+                               memory_space=pltpu.SMEM)
+        dc_spec = pl.BlockSpec((1, T * ntau), lambda g: (g, 0),
+                               memory_space=pltpu.SMEM)
+        dC_shape = jax.ShapeDtypeStruct((G, T * ntau * ntau), dtype)
+        dc_shape = jax.ShapeDtypeStruct((G, T * ntau), dtype)
+    else:
+        Cv = prep(C)
+        cvv = prep(c)
+        C_spec = _vmem((T, ntau, ntau, 1, SUB, LANE), 3)
+        c_spec = _vmem((T, ntau, 1, SUB, LANE), 2)
+        dC_spec = _vmem((T, ntau, ntau, 1, SUB, LANE), 3)
+        dc_spec = _vmem((T, ntau, 1, SUB, LANE), 2)
+        dC_shape = jax.ShapeDtypeStruct((T, ntau, ntau, G, SUB, LANE),
+                                        dtype)
+        dc_shape = jax.ShapeDtypeStruct((T, ntau, G, SUB, LANE), dtype)
+    if dyn_shared:
+        Fv = jnp.asarray(F, dtype).reshape(T - 1, ns * ntau)
+        F_spec = _smem((T - 1, ns * ntau))
+        dF_spec = pl.BlockSpec((1, (T - 1) * ns * ntau),
+                               lambda g: (g, 0),
+                               memory_space=pltpu.SMEM)
+        df_spec = pl.BlockSpec((1, (T - 1) * ns), lambda g: (g, 0),
+                               memory_space=pltpu.SMEM)
+        dF_shape = jax.ShapeDtypeStruct((G, (T - 1) * ns * ntau), dtype)
+        df_shape = jax.ShapeDtypeStruct((G, (T - 1) * ns), dtype)
+    else:
+        Fv = prep(F)
+        F_spec = _vmem((T - 1, ns, ntau, 1, SUB, LANE), 3)
+        dF_spec = _vmem((T - 1, ns, ntau, 1, SUB, LANE), 3)
+        df_spec = _vmem((T - 1, ns, 1, SUB, LANE), 2)
+        dF_shape = jax.ShapeDtypeStruct((T - 1, ns, ntau, G, SUB, LANE),
+                                        dtype)
+        df_shape = jax.ShapeDtypeStruct((T - 1, ns, G, SUB, LANE),
+                                        dtype)
 
     has_I = I_mask is not None
     Iv = (prep(jnp.asarray(I_mask).astype(dtype)) if has_I
@@ -283,14 +373,15 @@ def fused_kkt_backward(n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
     I_spec = (_vmem((T, nc, 1, SUB, LANE), 2) if has_I else _smem((1, 1)))
 
     kernel = _make_bwd_kernel(T=T, ns=ns, nc=nc, has_I=has_I,
-                              has_f=has_f)
+                              has_f=has_f, cost_shared=cost_shared,
+                              dyn_shared=dyn_shared)
     outs = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
-            _vmem((T, ntau, ntau, 1, SUB, LANE), 3),
-            _vmem((T, ntau, 1, SUB, LANE), 2),
-            _vmem((T - 1, ns, ntau, 1, SUB, LANE), 3),
+            C_spec,
+            c_spec,
+            F_spec,
             _vmem((T, ns, 1, SUB, LANE), 2),
             _vmem((T, nc, 1, SUB, LANE), 2),
             _vmem((T, ns, 1, SUB, LANE), 2),
@@ -299,21 +390,21 @@ def fused_kkt_backward(n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
         ],
         out_specs=[
             _vmem((ns, 1, SUB, LANE), 1),
-            _vmem((T, ntau, ntau, 1, SUB, LANE), 3),
-            _vmem((T, ntau, 1, SUB, LANE), 2),
-            _vmem((T - 1, ns, ntau, 1, SUB, LANE), 3),
-            _vmem((T - 1, ns, 1, SUB, LANE), 2),
+            dC_spec,
+            dc_spec,
+            dF_spec,
+            df_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ns, G, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((T, ntau, ntau, G, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((T, ntau, G, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((T - 1, ns, ntau, G, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((T - 1, ns, G, SUB, LANE), dtype),
+            dC_shape,
+            dc_shape,
+            dF_shape,
+            df_shape,
         ],
         interpret=interpret,
-    )(prep(C), prep(c), prep(F), prep(dl_dx), prep(dl_du),
-      prep(x_star), prep(u_star), Iv)
+    )(Cv, cvv, Fv, prep(dl_dx, zero_pad=True),
+      prep(dl_du, zero_pad=True), prep(x_star), prep(u_star), Iv)
 
     def unprep(a, batch_axis):
         a = a.reshape(a.shape[:-3] + (Bp,))
@@ -323,8 +414,20 @@ def fused_kkt_backward(n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
         return a[tuple(idx)]
 
     dxi, dC, dc, dF, df = outs
-    return (unprep(dxi, 0), unprep(dC, 1), unprep(dc, 1),
-            unprep(dF, 1), unprep(df, 1))
+    dxi = unprep(dxi, 0)
+    if cost_shared:
+        dC = jnp.sum(dC, axis=0).reshape(T, ntau, ntau)
+        dc = jnp.sum(dc, axis=0).reshape(T, ntau)
+    else:
+        dC = unprep(dC, 1)
+        dc = unprep(dc, 1)
+    if dyn_shared:
+        dF = jnp.sum(dF, axis=0).reshape(T - 1, ns, ntau)
+        df = jnp.sum(df, axis=0).reshape(T - 1, ns)
+    else:
+        dF = unprep(dF, 1)
+        df = unprep(df, 1)
+    return dxi, dC, dc, dF, df
 
 
 def make_batched_fixed_point(n_state: int, has_bounds: bool,
@@ -335,6 +438,10 @@ def make_batched_fixed_point(n_state: int, has_bounds: bool,
 
     Same contract: forward is a pass-through of the converged
     (stop-gradiented) trajectory; gradients flow to x_init, C, c, F, f.
+    C/c/F/f may be batched [T, B, ...] or batch-shared [T, ...] - the
+    cotangents match the primal layout (batch-shared primals get the
+    batch-REDUCED gradient straight from the kernel, skipping the
+    [T, B, ...] materialization entirely).
     """
     from .diff import ACTIVE_TOL
 

@@ -68,6 +68,83 @@ def _vjp_case(ns, nc, T, B, has_bounds, has_f, seed):
             (name, np.abs(a - b).max(), scale)
 
 
+def _vjp_case_shared(ns, nc, T, B, has_bounds, has_f, seed):
+    """Batch-SHARED (C, c, F, f): the kernel reduces dC/dc/dF/df over
+    the batch in-kernel; the reference is the vmapped fixed point with
+    None in_axes, whose vjp performs the same reduction in XLA."""
+    ntau = ns + nc
+    rng = np.random.RandomState(seed)
+    Cr = rng.randn(T, ntau, ntau).astype(np.float32)
+    C = np.einsum('tij,tkj->tik', Cr, Cr) + np.eye(ntau, dtype=np.float32)
+    c = rng.randn(T, ntau).astype(np.float32)
+    F = 0.4 * rng.randn(T - 1, ns, ntau).astype(np.float32)
+    F[:, :, :ns] += np.eye(ns, dtype=np.float32)
+    f = 0.1 * rng.randn(T - 1, ns).astype(np.float32)
+    xs = rng.randn(T, B, ns).astype(np.float32)
+    us = rng.randn(T, B, nc).astype(np.float32)
+    if has_bounds:
+        m = rng.rand(T, B, nc) < 0.3
+        us = np.where(m, np.sign(us), us).astype(np.float32)
+    lb = np.full((T, B, nc), -1.0, np.float32)
+    ub = np.full((T, B, nc), 1.0, np.float32)
+    gx = rng.randn(T, B, ns).astype(np.float32)
+    gu = rng.randn(T, B, nc).astype(np.float32)
+
+    args = (jnp.zeros((B, ns), jnp.float32), jnp.asarray(C),
+            jnp.asarray(c), jnp.asarray(F), jnp.asarray(f),
+            jnp.asarray(lb), jnp.asarray(ub), jnp.asarray(xs),
+            jnp.asarray(us))
+    cot = (jnp.asarray(gx), jnp.asarray(gu))
+
+    fp_ref = make_lqr_fixed_point(ns, has_bounds, has_f)
+    _, vjp_ref = jax.vjp(
+        jax.vmap(fp_ref, in_axes=(0, None, None, None, None, 1, 1, 1, 1),
+                 out_axes=(1, 1)), *args)
+    ref = vjp_ref(cot)
+
+    fp_k = make_batched_fixed_point(ns, has_bounds, has_f,
+                                    interpret=True)
+    _, vjp_k = jax.vjp(fp_k, *args)
+    got = vjp_k(cot)
+
+    for name, a, b in zip(('dx_init', 'dC', 'dc', 'dF', 'df'),
+                          ref[:5], got[:5]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, (name, a.shape, b.shape)
+        scale = max(np.abs(a).max(), 1e-9)
+        assert np.abs(a - b).max() / scale < 5e-4, \
+            (name, np.abs(a - b).max(), scale)
+
+
+def test_bwd_kernel_shared_cost_dyn():
+    _vjp_case_shared(3, 1, 6, 16, has_bounds=True, has_f=True, seed=3)
+
+
+def test_bwd_kernel_shared_multictrl_padded_tile():
+    """B=10 pads the tile; zero-padded cotangents must keep the padded
+    lanes out of the in-kernel reduction exactly."""
+    _vjp_case_shared(3, 2, 5, 10, has_bounds=True, has_f=True, seed=4)
+
+
+def test_bwd_kernel_shared_unbounded_no_f():
+    _vjp_case_shared(2, 1, 7, 16, has_bounds=False, has_f=False, seed=5)
+
+
+def test_bwd_shared_extends_T_reach():
+    """The SMEM/reduced layout must cover T=64+ (round-2 verdict: the
+    all-batched layout's VMEM bound stopped well short of that), and
+    strictly extend past the all-batched layout's bound at the same
+    (ns, nc)."""
+    from mpc_tpu.ops.fused_bwd import supports_bwd
+    assert supports_bwd(64, 3, 1, jnp.float32, cost_shared=True,
+                        dyn_shared=True)
+    assert supports_bwd(96, 3, 1, jnp.float32, cost_shared=True,
+                        dyn_shared=True)
+    # the batched layout stops earlier - the shared layout's reach is
+    # a strict superset
+    assert not supports_bwd(64, 3, 1, jnp.float32)
+
+
 def test_bwd_kernel_bounded():
     _vjp_case(3, 1, 6, 16, has_bounds=True, has_f=True, seed=0)
 
