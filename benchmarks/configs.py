@@ -108,8 +108,19 @@ def bench_cartpole(B=512, T=25):
             'unit': f'solves/s (B={B}, T={T}, f32)'}
 
 
-def bench_imitation(B=1024, T=10):
-    """Config 4: differentiable-MPC imitation learning step throughput."""
+def bench_imitation(B=1024, T=10, n_chunk=66, _return_dt=False):
+    """Config 4: differentiable-MPC imitation learning step throughput.
+
+    The learned cost is BATCH-SHARED (one diag(q)/p for the whole
+    batch, the structure of the reference workload it mirrors,
+    examples/gym_pendulum_approximate.py:100-147), so it rides the
+    forward kernel's SMEM fast path and the backward kernel's
+    in-kernel-reduced gradient path - no [T, B, ntau, ntau]
+    materialization anywhere.  ``n_chunk`` distinct pipelined calls
+    with one final sync; 66 is in the converged regime (see
+    bench_imitation_convergence and the BASELINE.md round-3 note on
+    the round-2 official-vs-controlled gap, which was chunk-length
+    understatement)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -124,8 +135,6 @@ def bench_imitation(B=1024, T=10):
     x0 = jnp.asarray(np.stack(
         [np.cos(th), np.sin(th), np.zeros(B)], 1), dtype)
     u_expert = jnp.asarray(np.clip(rng.randn(T, B, 1), -2, 2), dtype)
-    lb = jnp.full((T, B, 1), -2.0, dtype)
-    ub = jnp.full((T, B, 1), 2.0, dtype)
 
     cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=5,
                     grad_method=GradMethods.AUTO_DIFF, eps=0.0,
@@ -137,29 +146,40 @@ def bench_imitation(B=1024, T=10):
               'p': jnp.asarray(p, dtype)}
 
     def make_cost(theta):
-        C = jnp.broadcast_to(jnp.diag(jnp.exp(theta['q_log'])),
-                             (T, B, 4, 4))
-        c = jnp.broadcast_to(theta['p'], (T, B, 4))
-        return QuadCost(C, c)
+        return QuadCost(jnp.diag(jnp.exp(theta['q_log'])), theta['p'])
 
     opt = optax.adam(1e-2)
     step = make_imitation_train_step(cfg, opt, make_cost, lambda th: dx,
-                                     u_lower=lb, u_upper=ub)
+                                     u_lower=-2.0, u_upper=2.0)
     state = TrainState(theta0, opt.init(theta0), jnp.asarray(0))
 
     def fn(state, x0, u_expert):
         st, loss = step(state, x0, u_expert)
         return loss
-    # >= 32 distinct pipelined calls AFTER the harness's 2-call warmup:
-    # shorter chunks understate by ~2x through the tunnel (see
-    # BASELINE.md measurement note)
     args_list = [(state, x, u_expert)
                  for (x,) in [(a[1],) for a in _perturb(
-                     rng, (u_expert, x0), index=1, n=34)]]
+                     rng, (u_expert, x0), index=1, n=n_chunk)]]
     dt = _time(fn, args_list)
+    if _return_dt:
+        return dt
     return {'metric': 'imitation_examples_per_sec',
             'value': round(B / dt, 1),
             'unit': f'examples/s fwd+bwd (B={B}, T={T}, f32)'}
+
+
+def bench_imitation_convergence(B=1024, T=10, chunks=(10, 18, 34, 66,
+                                                      130)):
+    """Round-2 verdict item 6: show the imitation metric converges as
+    the pipelined chunk grows (the tunneled runtime charges fixed
+    per-chunk overheads, so short chunks understate throughput).  Run
+    manually; the converged figure is what bench_imitation reports."""
+    rows = []
+    for n in chunks:
+        dt = bench_imitation(B=B, T=T, n_chunk=n, _return_dt=True)
+        rows.append({'metric': f'imitation_examples_per_sec_chunk{n}',
+                     'value': round(B / dt, 1),
+                     'unit': f'examples/s (chunk={n})'})
+    return rows
 
 
 def bench_pod(B=16384, T=20):
