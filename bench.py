@@ -87,7 +87,10 @@ def bench_pendulum(B=4096, T=20, iters=120, warmup=2, profile_dir=None):
         # jax.profiler trace of the timed section (inspect with
         # tensorboard or xprof); SURVEY section 5 tracing subsystem
         import contextlib
-        prof = jax.profiler.trace(profile_dir)
+        # perfetto JSON alongside the xplane pb: benchmarks/roofline.py
+        # parses it for trace-derived occupancy / achieved-FLOP numbers
+        prof = jax.profiler.trace(profile_dir,
+                                  create_perfetto_trace=True)
     else:
         import contextlib
         prof = contextlib.nullcontext()
