@@ -234,6 +234,54 @@ class NNDynamics:
         _, J = self._stream_core(xs, u, pread, want_jac=True)
         return J
 
+    def soa_stream_step_multi(self, pts, pread):
+        """Step at SEVERAL (xs, u) points in ONE weight sweep: each
+        weight is read from SMEM once and applied to every point (the
+        fused multi-alpha line search passes one point per trial alpha,
+        so the scalar-unit read stream stops scaling with the number of
+        alphas).  Per-point FP accumulation order matches
+        ``soa_stream_step`` exactly, so results are bitwise identical
+        to P independent single-point calls."""
+        from jax import lax
+
+        P = len(pts)
+        comps_l = [list(xs) + (list(u) if isinstance(u, tuple) else [u])
+                   for xs, u in pts]
+        ns = len(pts[0][0])
+        n_in = len(comps_l[0])
+        H = self.params[0][0].shape[0]
+        act = _ACTS_SOA[self.activation]
+        b1_off = H * n_in
+        w2_off = H * (n_in + 1)
+        b2_off = w2_off + ns * H
+        zero = comps_l[0][0] * 0.0
+
+        def body(k, accs):
+            w1 = [pread(k * n_in + i) for i in range(n_in)]
+            b1 = pread(b1_off + k)
+            w2 = [pread(w2_off + j * H + k) for j in range(ns)]
+            new = []
+            for p in range(P):
+                comps = comps_l[p]
+                v = w1[0] * comps[0]
+                for i in range(1, n_in):
+                    v = v + w1[i] * comps[i]
+                v = v + b1
+                h = act(v)
+                new.append([accs[p][j] + w2[j] * h for j in range(ns)])
+            return new
+
+        accs = lax.fori_loop(0, H, body,
+                             [[zero] * ns for _ in range(P)],
+                             unroll=False)
+        outs = []
+        for p in range(P):
+            out = [accs[p][j] + pread(b2_off + j) for j in range(ns)]
+            if self.passthrough:
+                out = [out[j] + comps_l[p][j] for j in range(ns)]
+            outs.append(tuple(out))
+        return outs
+
     def soa_step(self, xs, u, params):
         comps = list(xs) + (list(u) if isinstance(u, tuple) else [u])
         ns = len(xs)

@@ -856,7 +856,8 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                       uz_smem=True, t_unroll=1,
                       cost_mode='quad', soa_cost=None, n_cost_params=0,
                       cost_stream=False, dyn_stream=False,
-                      soa_stream_step=None, soa_stream_jac=None):
+                      soa_stream_step=None, soa_stream_jac=None,
+                      soa_stream_step_multi=None):
     """Same solver as ``_make_kernel`` but with the horizon as a
     ``lax.fori_loop`` instead of a Python unroll, so T is bounded by the
     VMEM budget (see ``_long_vmem_bytes``) instead of Mosaic compile
@@ -898,19 +899,34 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
         if dyn_stream:
             Fbuf_ref, Fsem = srefs[:2]
 
+        # Streamed (C_t, c_t) / (F_t, f_t) ride a 2-slot VMEM scratch
+        # keyed by t % 2, DOUBLE-BUFFERED: every loop starts the
+        # adjacent step's copy BEFORE waiting on the current one, so
+        # the DMA overlaps that step's compute.  The host packs c as
+        # row ntau of the C block (f as column ntau of F) - one DMA per
+        # operand per t - and lays the grid axis in FRONT so the slice
+        # uses leading indices only (a mid-axis dynamic index hangs
+        # Mosaic's DMA lowering).  All loops touch t in unit steps, so
+        # parity slots never collide, and every started copy is waited
+        # before its loop exits (guarded by pl.when at the edges).
+        if cost_stream:
+            def C_dma(t, slot):
+                return pltpu.make_async_copy(
+                    C_ref.at[gi, t], Cbuf_ref.at[slot], Csem.at[slot])
+
+            def C_load(slot):
+                Ct = [[Cbuf_ref[slot, i, j] for j in range(ntau)]
+                      for i in range(ntau)]
+                ct = [Cbuf_ref[slot, ntau, j] for j in range(ntau)]
+                return Ct, ct
+
         def read_Cc(t):
-            """Streamed (C_t, c_t) in ONE DMA: the host packs c as row
-            ntau of the C block, the layout is G-leading so the slice
-            uses leading indices only (a mid-axis dynamic index hangs
-            Mosaic's DMA lowering)."""
-            cp = pltpu.make_async_copy(
-                C_ref.at[gi, t], Cbuf_ref, Csem)
+            """Synchronous streamed read (slot 0) - fallback for loops
+            without a prefetch schedule."""
+            cp = C_dma(t, 0)
             cp.start()
             cp.wait()
-            Ct = [[Cbuf_ref[i, j] for j in range(ntau)]
-                  for i in range(ntau)]
-            ct = [Cbuf_ref[ntau, j] for j in range(ntau)]
-            return Ct, ct
+            return C_load(0)
 
         def read_C(t):
             # batched (non-SMEM) quadratic cost always streams in the
@@ -980,6 +996,20 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             def dyn_step_from(data, xs, us):
                 return list(step(xs, us))
 
+            def dyn_step_multi(pts):
+                """Step at one point per trial alpha in ONE weight
+                sweep (see NNDynamics.soa_stream_step_multi): the SMEM
+                read stream is shared across alphas, so the fused
+                line-search loop stops paying n_alpha weight sweeps."""
+                if nc == 1:
+                    outs = soa_stream_step_multi(
+                        [(tuple(xs), us[0]) for xs, us in pts], pread)
+                else:
+                    outs = soa_stream_step_multi(
+                        [(tuple(xs), tuple(us)) for xs, us in pts],
+                        pread)
+                return [list(o) for o in outs]
+
             def dyn_step(t, xs, us):
                 return list(step(xs, us))
 
@@ -1030,18 +1060,26 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                         Ft[i][ns + j] = col[i]
                 return Ft
         else:
+            if dyn_stream:
+                def F_dma(t, slot):
+                    return pltpu.make_async_copy(
+                        F_ref.at[gi, t], Fbuf_ref.at[slot],
+                        Fsem.at[slot])
+
+                def F_load(slot):
+                    Ft = [[Fbuf_ref[slot, i, j] for j in range(ntau)]
+                          for i in range(ns)]
+                    fv = ([Fbuf_ref[slot, i, ntau] for i in range(ns)]
+                          if has_f else None)
+                    return Ft, fv
+
             def read_Ff(t):
-                """Streamed (F_t, f_t) in one DMA (f packed as column
-                ntau of the F block when present)."""
-                cp = pltpu.make_async_copy(
-                    F_ref.at[gi, t], Fbuf_ref, Fsem)
+                """Synchronous streamed read (slot 0) - fallback for
+                loops without a prefetch schedule."""
+                cp = F_dma(t, 0)
                 cp.start()
                 cp.wait()
-                Ft = [[Fbuf_ref[i, j] for j in range(ntau)]
-                      for i in range(ns)]
-                fv = ([Fbuf_ref[i, ntau] for i in range(ns)]
-                      if has_f else None)
-                return Ft, fv
+                return F_load(0)
 
             def read_F(t):
                 if dyn_stream:
@@ -1254,7 +1292,7 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                 for j in range(ns):
                     K_ref[t, m * ns + j] = Kt[m][j] + zero
 
-        def recentred(t):
+        def recentred(t, Cc=None):
             xt = read_x(t)
             ut = read_u(t)
             if cost_mode == 'soa':
@@ -1263,7 +1301,7 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                 Ht, gt = cost_quad(xt, ut)
                 return Ht, gt, xt, ut
             if cost_stream:
-                Ct, ct = read_Cc(t)
+                Ct, ct = Cc if Cc is not None else read_Cc(t)
             else:
                 Ct = read_C(t)
                 ct = read_c(t)
@@ -1275,8 +1313,21 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
         def riccati():
             """Reverse DP over the horizon; gains land in K_ref/k_ref.
             Returns total in-kernel QP iterations (lane vector)."""
+            # double-buffered prologue: C[T-1] for the peel, plus the
+            # first body step's (C, F)[T-2] in flight during the peel
+            if cost_stream:
+                C_dma(T - 1, (T - 1) % 2).start()
+            if T >= 2:
+                if cost_stream:
+                    C_dma(T - 2, (T - 2) % 2).start()
+                if dyn_stream:
+                    F_dma(T - 2, (T - 2) % 2).start()
+            Cc_peel = None
+            if cost_stream:
+                C_dma(T - 1, (T - 1) % 2).wait()
+                Cc_peel = C_load((T - 1) % 2)
             # peel t = T-1 (V_T = 0, so Q = C)
-            Ct, cb, _, _ = recentred(T - 1)
+            Ct, cb, _, _ = recentred(T - 1, Cc_peel)
             kt, Kt, qp0 = ctrl_solve(T - 1, Ct, cb, None)
             write_gains(T - 1, Kt, kt)
             V, v = vv_update(Ct, cb, Kt, kt)
@@ -1297,8 +1348,25 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             def rstep(i, carry):
                 V, v, prev_kt, qp = carry
                 t = T - 2 - i
-                Ct, cb, xt, ut = recentred(t)
-                Ft = dyn_F(t, xt, ut)
+                slot = lax.rem(t, 2)
+                if cost_stream or dyn_stream:
+                    # start step t-1's copies before waiting on t's
+                    @pl.when(t >= 1)
+                    def _():
+                        if cost_stream:
+                            C_dma(t - 1, 1 - slot).start()
+                        if dyn_stream:
+                            F_dma(t - 1, 1 - slot).start()
+                Cc = None
+                if cost_stream:
+                    C_dma(t, slot).wait()
+                    Cc = C_load(slot)
+                Ct, cb, xt, ut = recentred(t, Cc)
+                if dyn_stream:
+                    F_dma(t, slot).wait()
+                    Ft = F_load(slot)[0]
+                else:
+                    Ft = dyn_F(t, xt, ut)
                 W = _mat(ns, ntau)
                 for a in range(ns):
                     for b in range(ntau):
@@ -1349,16 +1417,60 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
         # the dynamics evaluation is cheap (LinDx / few-param SoA):
         # sharing the loop amortizes per-t reads/DMAs and gives the VPU
         # n_a independent chains (+28% streamed LinDx, +14% T=256
-        # pendulum).  Param-heavy MLP dynamics spill registers when
-        # evaluated n_a times per body, so they keep one loop per alpha.
-        fuse_alphas = (dyn_mode == 'lindx'
+        # pendulum).  Param-heavy MLP dynamics on the TUPLE path spill
+        # registers when evaluated n_a times per body, so they keep one
+        # loop per alpha; param-STREAMING dynamics fuse through
+        # dyn_step_multi (one weight sweep for all alphas, P * ns live
+        # accumulators) as long as the alpha count and any unrolled
+        # cost params stay modest.
+        stream_multi_ok = (dyn_mode == 'soa_stream'
+                           and soa_stream_step_multi is not None
+                           and n_a <= 6
+                           and n_cost_params <= _UNROLL_PARAM_LIMIT)
+        fuse_alphas = (dyn_mode == 'lindx' or stream_multi_ok
                        or n_params + n_cost_params <= _UNROLL_PARAM_LIMIT)
+        dyn_multi = stream_multi_ok and fuse_alphas
+
+        def fwd_prologue():
+            """Start the t=0 copies for a forward (t ascending) loop."""
+            if cost_stream:
+                C_dma(0, 0).start()
+            if dyn_stream:
+                F_dma(0, 0).start()
+
+        def fwd_fetch(t, need_cost=True):
+            """Double-buffered (cdata, ddata) for forward loops: start
+            t+1's copies, wait t's, load from slot t % 2.  Dynamics
+            indices clamp to T-2 (the t = T-1 step re-copies the same
+            slice into the other slot, keeping the schedule uniform)."""
+            slot = lax.rem(t, 2)
+            if (cost_stream and need_cost) or dyn_stream:
+                @pl.when(t + 1 < T)
+                def _():
+                    if cost_stream and need_cost:
+                        C_dma(t + 1, 1 - slot).start()
+                    if dyn_stream:
+                        F_dma(jnp.minimum(t + 1, T - 2),
+                              1 - slot).start()
+            if cost_stream and need_cost:
+                C_dma(t, slot).wait()
+                cdata = C_load(slot)
+            else:
+                cdata = read_cost_data(t) if need_cost else None
+            if dyn_stream:
+                F_dma(jnp.minimum(t, T - 2), slot).wait()
+                ddata = F_load(slot)
+            else:
+                ddata = read_dyn_data(jnp.minimum(t, T - 2))
+            return cdata, ddata
 
         def rollout_cost_all():
             """All line-search trial rollouts in ONE horizon loop (see
             ``fuse_alphas``).  Per-alpha accumulation order matches the
             one-rollout-per-alpha form exactly.  Returns (costs per
             alpha, ||du||^2 at alpha_0)."""
+            fwd_prologue()
+
             def fstep(t, carry):
                 xts, costs, du2 = carry
                 x_old = read_x(t)
@@ -1367,20 +1479,25 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                 kt = read_k(t)
                 uzt = read_uz(t) if has_uz else None
                 lbt, ubt = read_bounds(t) if has_bounds else (None, None)
-                cdata = read_cost_data(t)
-                ddata = read_dyn_data(jnp.minimum(t, T - 2))
-                new_xts = []
+                cdata, ddata = fwd_fetch(t)
+                uts = []
                 new_costs = []
                 for ai, a in enumerate(alphas):
                     dxt = [xts[ai][i] - x_old[i] for i in range(ns)]
                     ut = _ctrl_from(Kt, kt, lbt, ubt, uzt, dxt, u_old, a)
+                    uts.append(ut)
                     new_costs.append(
                         costs[ai] + stage_cost_from(cdata, xts[ai], ut))
                     if ai == 0:
                         for m in range(nc):
                             d = u_old[m] - ut[m]
                             du2 = du2 + d * d
-                    new_xts.append(dyn_step_from(ddata, xts[ai], ut))
+                if dyn_multi:
+                    new_xts = dyn_step_multi(
+                        [(xts[ai], uts[ai]) for ai in range(n_a)])
+                else:
+                    new_xts = [dyn_step_from(ddata, xts[ai], uts[ai])
+                               for ai in range(n_a)]
                 return (new_xts, new_costs, du2)
 
             init = ([list(x0) for _ in range(n_a)], [zero] * n_a, zero)
@@ -1422,6 +1539,9 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
         def rollout_commit(alpha, active, take_best):
             """Re-roll with the per-lane selected alpha, merging into the
             current (active lanes) and best (take_best lanes) refs."""
+            if dyn_stream:
+                F_dma(0, 0).start()
+
             def fstep(t, carry):
                 (xt,) = carry
                 x_old = read_x(t)
@@ -1438,8 +1558,11 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                     u_ref[t, m] = um
                     uout_ref[t, m, 0] = jnp.where(
                         take_best, um, uout_ref[t, m, 0])
-                tm = jnp.minimum(t, T - 2)
-                xn = dyn_step(tm, xt, ut)
+                if dyn_stream:
+                    _, ddata = fwd_fetch(t, need_cost=False)
+                    xn = dyn_step_from(ddata, xt, ut)
+                else:
+                    xn = dyn_step(jnp.minimum(t, T - 2), xt, ut)
                 return (xn,)
 
             lax.fori_loop(0, T, fstep, (list(x0),), unroll=t_unroll)
@@ -1454,11 +1577,12 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             for i in range(ns):
                 x_ref[t, i] = xt[i]
                 xout_ref[t, i, 0] = xt[i]
-            cost = cost + stage_cost(t, xt, ut)
-            tm = jnp.minimum(t, T - 2)
-            xn = dyn_step(tm, xt, ut)
+            cdata, ddata = fwd_fetch(t)
+            cost = cost + stage_cost_from(cdata, xt, ut)
+            xn = dyn_step_from(ddata, xt, ut)
             return (xn, cost)
 
+        fwd_prologue()
         _, init_cost = lax.fori_loop(0, T, istep, (list(x0), zero),
                                      unroll=t_unroll)
 
@@ -1768,9 +1892,11 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
             c = dummy_smem
             C_spec = pl.BlockSpec(memory_space=pl.ANY)
             c_spec = _smem((1, 1))
+            # 2-slot buffer + semaphore pair: the kernel double-buffers
+            # the per-t copies (start t+-1 before waiting on t)
             scratch += [
-                pltpu.VMEM((ntau + 1, ntau, SUB, LANE), dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, ntau + 1, ntau, SUB, LANE), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ]
         # batched per-example LinDx dynamics stream the same way
         dyn_stream = dyn_mode == 'lindx' and not dyn_smem
@@ -1784,16 +1910,19 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                 f_spec = _smem((1, 1))
             F_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch += [
-                pltpu.VMEM((ns, ntau + (1 if has_f else 0), SUB, LANE),
-                           dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, ns, ntau + (1 if has_f else 0), SUB,
+                            LANE), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ]
         kernel = _make_kernel_long(
             **common, cost_stream=cost_stream, dyn_stream=dyn_stream,
             soa_stream_step=(dynamics.soa_stream_step
                              if dyn_mode == 'soa_stream' else None),
             soa_stream_jac=(dynamics.soa_stream_jac
-                            if dyn_mode == 'soa_stream' else None))
+                            if dyn_mode == 'soa_stream' else None),
+            soa_stream_step_multi=(
+                getattr(dynamics, 'soa_stream_step_multi', None)
+                if dyn_mode == 'soa_stream' else None))
         extra = dict(
             scratch_shapes=scratch,
             # u0 aliases the u-output buffer (it IS the initial best_u),
@@ -1891,6 +2020,15 @@ class _SlewSoA:
         if nc == 1:
             return (u,) + tuple(xn)
         return tuple(u) + tuple(xn)
+
+    def soa_stream_step_multi(self, pts, pread):
+        nc = self._nc
+        inner = self._dyn.soa_stream_step_multi(
+            [(tuple(xs[nc:]), u) for xs, u in pts], pread)
+        outs = []
+        for (xs, u), xn in zip(pts, inner):
+            outs.append(((u,) if nc == 1 else tuple(u)) + tuple(xn))
+        return outs
 
     def soa_stream_jac(self, xs, u, pread):
         """Jacobian of the augmented step (u_t, f(x_t, u_t)) w.r.t. the

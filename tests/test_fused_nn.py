@@ -197,6 +197,32 @@ def test_stream_jac_matches_linearize():
                                            float(col[i]), atol=1e-6)
 
 
+def test_stream_step_multi_matches_single():
+    """soa_stream_step_multi (one weight sweep for several points, the
+    fused multi-alpha line search's inner step) is BITWISE identical to
+    independent soa_stream_step calls: same per-point accumulation
+    order, only the SMEM read schedule is shared."""
+    for act in ('sigmoid', 'relu', 'elu'):
+        dx = NNDynamics.init(jax.random.PRNGKey(5), 3, 1,
+                             hidden_sizes=(100,), activation=act,
+                             dtype=jnp.float32)
+        flat = dx.soa_params_flat()
+        rng = np.random.RandomState(7)
+        pts = []
+        for _ in range(4):
+            xs = tuple(jnp.float32(v) for v in rng.randn(3))
+            u = jnp.float32(rng.randn())
+            pts.append((xs, u))
+        multi = jax.jit(lambda: dx.soa_stream_step_multi(
+            pts, lambda i: flat[i]))()
+        for p, (xs, u) in enumerate(pts):
+            single = jax.jit(lambda xs=xs, u=u: dx.soa_stream_step(
+                xs, u, lambda i: flat[i]))()
+            for g, w in zip(multi[p], single):
+                np.testing.assert_array_equal(np.float32(g),
+                                              np.float32(w))
+
+
 def test_fused_nn_hidden100_streaming():
     """The reference's default hidden=100 MLP runs IN-KERNEL through
     the param-streaming path; interpret-mode equivalence vs the jnp
