@@ -384,9 +384,44 @@ def bench_long_horizon(B=16, T=512):
                      'solves/s)')}
 
 
+def bench_nn_dynamics(B=2048, T=20, hidden=100):
+    """Reference-default learned dynamics: NNDynamics with
+    hidden_sizes=[100] (mpc/dynamics.py:9-13), ~800 params, through the
+    param-streaming in-kernel path (weights in SMEM, lax.fori_loop over
+    hidden units).  Quadratic pendulum objective, box +-2."""
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu import MPCConfig, QuadCost, GradMethods
+    from mpc_tpu.learning import batched_solve
+    from mpc_tpu.models import NNDynamics, PendulumDx
+
+    dtype = jnp.float32
+    dx = NNDynamics.init(jax.random.PRNGKey(0), 3, 1,
+                         hidden_sizes=(hidden,))
+    rng = np.random.RandomState(4)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack(
+        [np.cos(th), np.sin(th), np.zeros(B)], 1), dtype)
+    q, p = PendulumDx().get_true_obj()
+    C = jnp.diag(q).astype(dtype)
+    c = jnp.asarray(p, dtype)
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=10,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=3)
+    fn = jax.jit(lambda x0, C, c: batched_solve(
+        cfg, x0, QuadCost(C, c), dx, u_lower=-2.0, u_upper=2.0).u)
+    dt = _time(fn, _perturb(rng, (x0, C, c), index=0))
+    return {'metric': 'nn_dynamics_solves_per_sec',
+            'value': round(B / dt, 1),
+            'unit': f'solves/s (B={B}, T={T}, hidden={hidden}, f32)'}
+
+
 def run_all_secondary():
     for fn in [bench_tvlqr, bench_cartpole, bench_imitation, bench_pod,
-               bench_long_horizon, bench_flops_accounting]:
+               bench_long_horizon, bench_nn_dynamics,
+               bench_flops_accounting]:
         print(json.dumps(fn()))
     for row in bench_latency():
         print(json.dumps(row))

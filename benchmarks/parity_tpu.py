@@ -225,10 +225,49 @@ def check_soacost_gradients(B=256, T=8):
     assert rel < 0.05
 
 
+def check_long_horizon_quality(B=256, T=256, IT=10):
+    """Check [6]: long-horizon NONLINEAR solution quality.  At T=256
+    the pendulum swing-up is chaotic, so fused-vs-jnp trajectories
+    legitimately diverge with iterations (BASELINE.md chaos note) and
+    elementwise parity is meaningless; what must hold is that the fused
+    kernel's converged objective is as good as the jnp path's.  Pins
+    the previously ad-hoc cost-quality metric: per-lane achieved cost
+    no worse on a solid fraction of lanes, and no worse in aggregate."""
+    dx = PendulumDx(params=jnp.array([10., 1., 1.], jnp.float32))
+    rng = np.random.RandomState(12)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1),
+                     jnp.float32)
+    q, p = dx.get_true_obj()
+    C = jnp.diag(q).astype(jnp.float32)
+    c = jnp.asarray(p, jnp.float32)
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=IT,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=3)
+    cfg_jnp = dataclasses.replace(cfg, use_fused='never')
+
+    def run(cfg_i):
+        return jax.jit(lambda x: batched_solve(
+            cfg_i, x, QuadCost(C, c), dx,
+            u_lower=-2.0, u_upper=2.0).costs)(x0)
+
+    cost_f = np.asarray(run(cfg))
+    cost_j = np.asarray(run(cfg_jnp))
+    frac_better = float(np.mean(cost_f <= cost_j + 1e-3))
+    ratio = float(cost_f.mean() / cost_j.mean())
+    print(f'[6] long-horizon T={T} quality: fused cost <= jnp on '
+          f'{100 * frac_better:.1f}% of lanes, mean ratio {ratio:.4f}')
+    assert frac_better >= 0.40, frac_better
+    assert ratio <= 1.05, ratio
+
+
 if __name__ == '__main__':
     check_vs_reference()
     check_multictrl_box()
     check_shard_map()
     check_sysid_gradients()
     check_soacost_gradients()
+    check_long_horizon_quality()
     print('ALL TPU PARITY CHECKS PASS')
