@@ -90,6 +90,21 @@ def _is_soa(dynamics):
 _MAX_SOA_PARAMS = 512
 _MAX_STREAM_PARAMS = 16384
 
+# Unrolled-instruction-volume gates.  The kernels emit lane-vector
+# instructions from Python loops, and Mosaic compile time grows
+# superlinearly with the emitted count.  The short kernel's trace is
+# ~T * ntau^3 ops per outer iteration (Qt assembly dominates); the
+# fori-loop kernel traces its horizon body ONCE, so its trace is
+# ~ntau^3.  Measured on one chip (LinDx box problems, T=20,
+# lqr_iter=3): ntau=4 compiles in ~28s, ntau=7 ~80s, ntau=13 exceeds
+# 7 minutes on the short kernel.  Problems whose T * ntau^3 exceeds
+# _UNROLL_VOLUME_LIMIT route through the fori-loop kernel; above
+# _BODY_VOLUME_LIMIT (ntau > 16) even the once-traced body is too
+# large and dispatch falls back to the XLA path, whose batched linalg
+# handles medium-size matrices without per-scalar unrolling.
+_UNROLL_VOLUME_LIMIT = 8_000    # T * ntau^3 budget, unrolled kernel
+_BODY_VOLUME_LIMIT = 4_096      # ntau^3 budget, fori-loop kernel body
+
 
 def _dyn_streams(dynamics, n_dyn_p):
     """Whether the dynamics runs the param-streaming kernel path:
@@ -153,10 +168,17 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
             return False
     elif n_dyn_p + n_cost_p > _MAX_SOA_PARAMS:
         return False
-    # the fori-loop kernel runs for T > 128 OR param-heavy SoA models
-    # (see fused_batched_solve); its VMEM gate applies in both cases
+    # the fori-loop kernel runs for T > 128, param-heavy SoA models, or
+    # compile-volume-heavy state dims (see fused_batched_solve); its
+    # VMEM gate applies in all cases
+    ns_eff = cfg.n_state + (cfg.n_ctrl if cfg.slew_rate_penalty
+                            is not None else 0)
+    ntau = ns_eff + cfg.n_ctrl
+    if ntau ** 3 > _BODY_VOLUME_LIMIT:
+        return False
     long_kernel = (cfg.T > 128
-                   or n_dyn_p + n_cost_p > _UNROLL_PARAM_LIMIT)
+                   or n_dyn_p + n_cost_p > _UNROLL_PARAM_LIMIT
+                   or cfg.T * ntau ** 3 > _UNROLL_VOLUME_LIMIT)
     return (
         # slew runs through the host-side state augmentation (see
         # fused_batched_solve); non-quadratic costs are out of scope
@@ -1869,7 +1891,8 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
     route_count = ((n_dyn_params if dyn_mode != 'lindx' else 0)
                    + (_soa_param_count(cost) if cost_mode == 'soa'
                       else 0))
-    long_horizon = T > 128 or route_count > _UNROLL_PARAM_LIMIT
+    long_horizon = (T > 128 or route_count > _UNROLL_PARAM_LIMIT
+                    or T * ntau ** 3 > _UNROLL_VOLUME_LIMIT)
     extra = {}
     if long_horizon:
         scratch = [

@@ -119,3 +119,70 @@ def test_mpc_class_matches_jnp_path(monkeypatch):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(ref.costs),
                                np.asarray(fus.costs), atol=1e-4)
+
+
+def _lindx_problem(ns, nc, T, B, dtype=jnp.float32):
+    """Shared stable LinDx + shared quadratic cost (SMEM layouts)."""
+    from mpc_tpu import LinDx
+
+    ntau = ns + nc
+    rng = np.random.RandomState(1)
+    A = np.eye(ns) + 0.01 * rng.randn(ns, ns)
+    Bm = 0.1 * rng.randn(ns, nc)
+    F = jnp.broadcast_to(
+        jnp.asarray(np.concatenate([A, Bm], 1), dtype), (T - 1, ns, ntau))
+    C = jnp.eye(ntau, dtype=dtype)
+    c = jnp.asarray(0.1 * rng.randn(ntau), dtype)
+    x0 = jnp.asarray(rng.randn(B, ns), dtype)
+    return LinDx(F, None), QuadCost(C, c), x0
+
+
+def test_supports_rejects_huge_state_dim():
+    """ntau > 16 exceeds even the fori-loop kernel's per-t trace
+    budget (ops/fused.py:_BODY_VOLUME_LIMIT): dispatch must fall back
+    to the XLA path instead of hanging Mosaic for minutes."""
+    from mpc_tpu.ops import fused
+
+    dyn, cost, _ = _lindx_problem(20, 2, 10, 8)
+    cfg = MPCConfig(n_state=20, n_ctrl=2, T=10, lqr_iter=2,
+                    grad_method=GradMethods.ANALYTIC, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False)
+    assert not fused.supports(cfg, cost, dyn, u_lower=-1.0)
+
+
+def test_volume_routes_medium_state_dim_to_fori_kernel(monkeypatch):
+    """ns=7/nc=2 at T=20 exceeds the unrolled kernel's compile-volume
+    budget (T * ntau^3 = 14580 > _UNROLL_VOLUME_LIMIT): supports() must
+    stay True, dispatch must pick the fori-loop kernel (whose horizon
+    body is traced once), and the solution must match the jnp path."""
+    import dataclasses
+
+    from mpc_tpu.ops import fused
+
+    ns, nc, T, B = 7, 2, 20, 64
+    dyn, cost, x0 = _lindx_problem(ns, nc, T, B)
+    cfg = MPCConfig(n_state=ns, n_ctrl=nc, T=T, lqr_iter=3,
+                    grad_method=GradMethods.ANALYTIC, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False)
+    assert fused.supports(cfg, cost, dyn, u_lower=-1.0)
+
+    calls = []
+    orig = fused._make_kernel_long
+
+    def spy(**kw):
+        calls.append(1)
+        return orig(**kw)
+
+    monkeypatch.setattr(fused, '_make_kernel_long', spy)
+    sol = fused.fused_batched_solve(cfg, x0, cost, dyn,
+                                    u_lower=-1.0, u_upper=1.0,
+                                    interpret=True)
+    assert calls, 'expected the fori-loop kernel route'
+    ref = batched_solve(dataclasses.replace(cfg, use_fused='never'),
+                        x0, cost, dyn, u_lower=-1.0, u_upper=1.0)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(sol.u),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.costs),
+                               np.asarray(sol.costs), atol=1e-4)
