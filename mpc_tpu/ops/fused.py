@@ -738,70 +738,64 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
 
             # ---- line-searched forward rollout ---------------------------
             # masked first-passing-else-last selection, identical to the
-            # parallel schedule in ops/lqr.py:lqr_forward.  The trial
-            # rollouts are COST-ONLY (only each alpha's current state
-            # stays live - storing all trial trajectories spills
-            # n_a*T*ntau lane tiles to VMEM and pays n_a*T*ntau
-            # where-merges); the winner is re-rolled once with the
-            # per-lane selected alpha.  Bit-identical selection: the
-            # per-alpha cost/du accumulation order is unchanged, and the
-            # commit rollout multiplies k by sel_alpha, which equals the
-            # selected lane's trial alpha exactly.
+            # parallel schedule in ops/lqr.py:lqr_forward
             old_cost = traj_cost(x, u)
 
-            def ls_ctrl(t, xt, a_mul):
-                """One step's controls u + K dx + a*k with the zero-pin
-                mask and (trust-region-intersected) clamp (reference
-                mpc/lqr_step.py:197-213)."""
-                dxt = [xt[i] - x[t][i] for i in range(ns)]
-                ut = []
-                for m in range(nc):
-                    v = (sum(K[t][m][j] * dxt[j] for j in range(ns))
-                         + u[t][m] + a_mul * k[t][m])
-                    if has_uz:
-                        v = jnp.where((uz[t][m] + zero) > 0.5, 0.0, v)
-                    if has_bounds:
-                        lo_f, hi_f = lb[t][m], ub[t][m]
-                        if delta_u is not None:
-                            lo_f = jnp.maximum(u[t][m] - delta_u, lo_f)
-                            hi_f = jnp.minimum(u[t][m] + delta_u, hi_f)
-                        v = jnp.clip(v, lo_f, hi_f)
-                    ut.append(v)
-                return ut
-
-            n_a = len(alphas)
-            xa = [list(x0) for _ in range(n_a)]
-            costs_a = [0.0] * n_a
-            du2 = 0.0
-            for t in range(T):
-                for ki, a in enumerate(alphas):
-                    ut = ls_ctrl(t, xa[ki], a)
-                    costs_a[ki] = costs_a[ki] + stage_cost(t, xa[ki], ut)
-                    if ki == 0:
-                        for m in range(nc):
-                            d = u[t][m] - ut[m]
-                            du2 = du2 + d * d
+            found = zero > one          # all-False
+            sel_x = None
+            sel_u = None
+            sel_cost = None
+            sel_alpha = None
+            full_du = None
+            for ki, a in enumerate(alphas):
+                nx = [x0]
+                nu = []
+                cost_a = 0.0
+                for t in range(T):
+                    dxt = [nx[t][i] - x[t][i] for i in range(ns)]
+                    ut = []
+                    for m in range(nc):
+                        v = (sum(K[t][m][j] * dxt[j] for j in range(ns))
+                             + u[t][m] + a * k[t][m])
+                        if has_uz:
+                            # zero-mask before the clamp, like the
+                            # reference (mpc/lqr_step.py:197-213)
+                            v = jnp.where((uz[t][m] + zero) > 0.5,
+                                          0.0, v)
+                        if has_bounds:
+                            lo_f, hi_f = lb[t][m], ub[t][m]
+                            if delta_u is not None:
+                                # trust region around the nominal control,
+                                # intersected with the box (reference
+                                # mpc/lqr_step.py:204-211)
+                                lo_f = jnp.maximum(u[t][m] - delta_u, lo_f)
+                                hi_f = jnp.minimum(u[t][m] + delta_u, hi_f)
+                            v = jnp.clip(v, lo_f, hi_f)
+                        ut.append(v)
+                    nu.append(ut)
+                    cost_a = cost_a + stage_cost(t, nx[t], ut)
                     if t < T - 1:
-                        xa[ki] = dyn_step(t, xa[ki], ut)
-            full_du = jnp.sqrt(du2)
-
-            sel_cost = costs_a[0]
-            sel_alpha = zero + alphas[0]
-            found = costs_a[0] <= old_cost
-            for ki in range(1, n_a):
-                take = ~found
-                sel_cost = jnp.where(take, costs_a[ki], sel_cost)
-                sel_alpha = jnp.where(take, alphas[ki], sel_alpha)
-                found = found | (take & (costs_a[ki] <= old_cost))
-
-            # commit: one rollout at the per-lane selected alpha
-            sel_x = [list(x0)]
-            sel_u = []
-            for t in range(T):
-                ut = ls_ctrl(t, sel_x[t], sel_alpha)
-                sel_u.append(ut)
-                if t < T - 1:
-                    sel_x.append(dyn_step(t, sel_x[t], ut))
+                        nx.append(dyn_step(t, nx[t], ut))
+                if ki == 0:
+                    du2 = 0.0
+                    for t in range(T):
+                        for m in range(nc):
+                            d = u[t][m] - nu[t][m]
+                            du2 = du2 + d * d
+                    full_du = jnp.sqrt(du2)
+                    sel_x, sel_u = nx, nu
+                    sel_cost = cost_a
+                    sel_alpha = zero + a
+                    found = cost_a <= old_cost
+                else:
+                    take = ~found
+                    sel_x = [[jnp.where(take, nx[t][i], sel_x[t][i])
+                              for i in range(ns)] for t in range(T)]
+                    sel_u = [[jnp.where(take, nu[t][m], sel_u[t][m])
+                              for m in range(nc)] for t in range(T)]
+                    sel_cost = jnp.where(take, cost_a, sel_cost)
+                    sel_alpha = jnp.where(take, a, sel_alpha)
+                    found = found | (take & (cost_a <= old_cost))
 
             # ---- best tracking + per-lane stopping -----------------------
             # (reference mpc/mpc.py:271-301 / solver._OuterState)
