@@ -360,7 +360,11 @@ def bench_long_horizon(B=16, T=512):
                     grad_method=GradMethods.AUTO_DIFF, eps=0.0,
                     exit_unconverged=False, detach_unconverged=False,
                     backprop=False, linesearch_decay=0.2,
-                    max_linesearch_iter=3, use_fused='never')
+                    max_linesearch_iter=3, use_fused='never',
+                    # the default is now 'auto' (pscan at T >= 128);
+                    # the baseline arm must pin the sequential scan or
+                    # both arms measure the same path
+                    parallel_riccati=False)
 
     def make(cfg_i):
         return jax.jit(lambda x0: batched_solve(
