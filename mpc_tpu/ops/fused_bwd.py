@@ -22,15 +22,18 @@ Layouts mirror the forward kernel: operands may be batched time-major
 ([T, B, ...], laid on the lanes - a tile of SUB*LANE examples per grid
 program) or BATCH-SHARED ([T, ...]), in which case they ride SMEM as
 scalars and - crucially - their gradients are REDUCED over the batch
-IN-KERNEL: each grid program emits per-tile partial sums of
-dC/dc/dF/df to small SMEM outputs, which the host sums over tiles.
-This removes the [T, B, ntau, ntau] HBM materializations (batched
-primal broadcast + per-example cotangents + XLA's reduction) that the
-batched-only layout paid for batch-shared costs/dynamics - the same
-HBM blowup the forward kernel's SMEM fast path engineered away.
-Cotangents (dl_dx, dl_du) are ZERO-padded to the tile, which makes
-every padded lane's contribution to the reduced sums exactly zero (the
-whole differential system is linear in r).
+IN-KERNEL: the dC/dc/dF/df outputs are ONE small SMEM block whose
+index map is constant in the grid axis, so the block stays resident
+while the (sequential) grid programs accumulate their tile sums into
+it - the canonical Pallas reduction-axis pattern.  (A per-program
+``(1, N)`` SMEM output block would violate Mosaic's block-shape rules
+for G > 1.)  This removes the [T, B, ntau, ntau] HBM materializations
+(batched primal broadcast + per-example cotangents + XLA's reduction)
+that the batched-only layout paid for batch-shared costs/dynamics -
+the same HBM blowup the forward kernel's SMEM fast path engineered
+away.  Cotangents (dl_dx, dl_du) are ZERO-padded to the tile, which
+makes every padded lane's contribution to the reduced sums exactly
+zero (the whole differential system is linear in r).
 """
 
 from __future__ import annotations
@@ -46,6 +49,17 @@ from .fused import (LANE, SUB, _chol_solve, _cholesky, _masked_free_chol,
 # conservative VMEM budget for the unrolled backward kernel (inputs +
 # outputs + live intermediates per batch tile)
 _BWD_VMEM_LIMIT = 11 * 2 ** 20
+
+# unrolled-kernel instruction-volume budget (mirrors the forward's
+# _UNROLL_VOLUME_LIMIT, ops/fused.py): past this the three horizon
+# passes route through the fori-loop kernel (_make_bwd_kernel_long),
+# whose compile time is T-independent
+_BWD_UNROLL_VOLUME = 8_000
+
+# VMEM budget for the fori-loop backward kernel: per-t scratch for the
+# gains (Riccati -> rollout handoff) and differentials (rollout ->
+# costate handoff) plus constant-size 2-slot stream buffers
+_BWD_LONG_VMEM_LIMIT = 13 * 2 ** 20
 
 
 def _bwd_vmem_bytes(T, ns, nc, cost_shared=False, dyn_shared=False):
@@ -83,6 +97,13 @@ def _make_bwd_kernel(*, T, ns, nc, has_I, has_f, cost_shared,
 
     def kernel(C_ref, c_ref, F_ref, rx_ref, ru_ref, x_ref, u_ref, I_ref,
                dxi_ref, dC_ref, dc_ref, dF_ref, df_ref):
+        gi = pl.program_id(0)
+
+        def acc(ref, idx, val):
+            """Accumulate a reduced (scalar) gradient into the shared
+            SMEM output block across sequential grid programs."""
+            ref[idx, 0] = jnp.where(gi == 0, val, ref[idx, 0] + val)
+
         if cost_shared:
             # batch-shared quadratic model: scalars from SMEM (no
             # broadcast / VMEM streaming), like the forward kernel
@@ -230,13 +251,13 @@ def _make_bwd_kernel(*, T, ns, nc, has_I, has_f, cost_shared,
             xu = xs[t] + us[t]
             for i in range(ntau):
                 if cost_shared:
-                    dc_ref[0, t * ntau + i] = jnp.sum(-dxu[i])
+                    acc(dc_ref, t * ntau + i, jnp.sum(-dxu[i]))
                 else:
                     dc_ref[t, i, 0] = -dxu[i]
                 for j in range(ntau):
                     g = -0.5 * (dxu[i] * xu[j] + xu[i] * dxu[j])
                     if cost_shared:
-                        dC_ref[0, (t * ntau + i) * ntau + j] = jnp.sum(g)
+                        acc(dC_ref, (t * ntau + i) * ntau + j, jnp.sum(g))
                     else:
                         dC_ref[t, i, j, 0] = g
 
@@ -272,14 +293,14 @@ def _make_bwd_kernel(*, T, ns, nc, has_I, has_f, cost_shared,
             for i in range(ns):
                 gf = (-dlams[t + 1][i]) if has_f else zero
                 if dyn_shared:
-                    df_ref[0, t * ns + i] = jnp.sum(gf)
+                    acc(df_ref, t * ns + i, jnp.sum(gf))
                 else:
                     df_ref[t, i, 0] = gf
                 for j in range(ntau):
                     g = -(dlams[t + 1][i] * xu[j]
                           + lams[t + 1][i] * dxu[j])
                     if dyn_shared:
-                        dF_ref[0, (t * ns + i) * ntau + j] = jnp.sum(g)
+                        acc(dF_ref, (t * ns + i) * ntau + j, jnp.sum(g))
                     else:
                         dF_ref[t, i, j, 0] = g
         for i in range(ns):
@@ -298,8 +319,8 @@ def fused_kkt_backward(n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
     None or [T, B, nc] (bool/float, truthy = active/pinned).  Returns
     (dx_init [B, ns], dC, dc, dF, df) with layouts matching the
     inputs: per-example for batched primals, REDUCED over the batch
-    (in-kernel partial sums + a host sum over tiles) for batch-shared
-    primals.
+    (accumulated in-kernel across the sequential grid programs) for
+    batch-shared primals.
     """
     T = x_star.shape[0]
     B = x_star.shape[1]
@@ -330,13 +351,14 @@ def fused_kkt_backward(n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
         cvv = jnp.asarray(c, dtype)
         C_spec = _smem((T, ntau * ntau))
         c_spec = _smem((T, ntau))
-        # per-tile partial sums: SMEM outputs (G, ...), host-summed
-        dC_spec = pl.BlockSpec((1, T * ntau * ntau), lambda g: (g, 0),
+        # batch-reduced gradients: ONE resident SMEM block (index map
+        # constant in g) accumulated across the sequential grid
+        dC_spec = pl.BlockSpec((T * ntau * ntau, 1), lambda g: (0, 0),
                                memory_space=pltpu.SMEM)
-        dc_spec = pl.BlockSpec((1, T * ntau), lambda g: (g, 0),
+        dc_spec = pl.BlockSpec((T * ntau, 1), lambda g: (0, 0),
                                memory_space=pltpu.SMEM)
-        dC_shape = jax.ShapeDtypeStruct((G, T * ntau * ntau), dtype)
-        dc_shape = jax.ShapeDtypeStruct((G, T * ntau), dtype)
+        dC_shape = jax.ShapeDtypeStruct((T * ntau * ntau, 1), dtype)
+        dc_shape = jax.ShapeDtypeStruct((T * ntau, 1), dtype)
     else:
         Cv = prep(C)
         cvv = prep(c)
@@ -350,13 +372,13 @@ def fused_kkt_backward(n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
     if dyn_shared:
         Fv = jnp.asarray(F, dtype).reshape(T - 1, ns * ntau)
         F_spec = _smem((T - 1, ns * ntau))
-        dF_spec = pl.BlockSpec((1, (T - 1) * ns * ntau),
-                               lambda g: (g, 0),
+        dF_spec = pl.BlockSpec(((T - 1) * ns * ntau, 1),
+                               lambda g: (0, 0),
                                memory_space=pltpu.SMEM)
-        df_spec = pl.BlockSpec((1, (T - 1) * ns), lambda g: (g, 0),
+        df_spec = pl.BlockSpec(((T - 1) * ns, 1), lambda g: (0, 0),
                                memory_space=pltpu.SMEM)
-        dF_shape = jax.ShapeDtypeStruct((G, (T - 1) * ns * ntau), dtype)
-        df_shape = jax.ShapeDtypeStruct((G, (T - 1) * ns), dtype)
+        dF_shape = jax.ShapeDtypeStruct(((T - 1) * ns * ntau, 1), dtype)
+        df_shape = jax.ShapeDtypeStruct(((T - 1) * ns, 1), dtype)
     else:
         Fv = prep(F)
         F_spec = _vmem((T - 1, ns, ntau, 1, SUB, LANE), 3)
@@ -416,14 +438,14 @@ def fused_kkt_backward(n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
     dxi, dC, dc, dF, df = outs
     dxi = unprep(dxi, 0)
     if cost_shared:
-        dC = jnp.sum(dC, axis=0).reshape(T, ntau, ntau)
-        dc = jnp.sum(dc, axis=0).reshape(T, ntau)
+        dC = dC.reshape(T, ntau, ntau)
+        dc = dc.reshape(T, ntau)
     else:
         dC = unprep(dC, 1)
         dc = unprep(dc, 1)
     if dyn_shared:
-        dF = jnp.sum(dF, axis=0).reshape(T - 1, ns, ntau)
-        df = jnp.sum(df, axis=0).reshape(T - 1, ns)
+        dF = dF.reshape(T - 1, ns, ntau)
+        df = df.reshape(T - 1, ns)
     else:
         dF = unprep(dF, 1)
         df = unprep(df, 1)
