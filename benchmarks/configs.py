@@ -167,6 +167,56 @@ def bench_imitation(B=1024, T=10, n_chunk=66, _return_dt=False):
             'unit': f'examples/s fwd+bwd (B={B}, T={T}, f32)'}
 
 
+def bench_imitation_long(B=4096, T=160, n_chunk=34):
+    """Long-horizon differentiable-MPC training: gradients through a
+    T=160 box-constrained LQR fixed point, batch-shared learned
+    quadratic cost over shared LinDx dynamics.  Forward runs the
+    fori-loop kernel; the backward runs the round-3 fori-loop
+    KKT-backward kernel (ops/fused_bwd.py:_make_bwd_kernel_long) -
+    the unrolled kernels cap near T~100, and the jnp path measures
+    ~5x slower on this config (BASELINE.md round-3)."""
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu import LinDx, MPCConfig, QuadCost, GradMethods
+    from mpc_tpu.learning import batched_solve
+
+    dtype = jnp.float32
+    ns, nc = 3, 1
+    ntau = ns + nc
+    rng = np.random.RandomState(5)
+    A = np.eye(ns, dtype=np.float32)
+    A[0, 1] = 0.01
+    Fsh = np.concatenate([A, 0.01 * np.ones((ns, nc), np.float32)], 1)
+    F = jnp.asarray(np.broadcast_to(Fsh, (T - 1, ns, ntau)).copy())
+    C = jnp.broadcast_to(
+        jnp.asarray(np.diag([1., 1., 0.1, 0.01]).astype(np.float32)),
+        (T, ntau, ntau))
+    x0 = jnp.asarray(rng.randn(B, ns).astype(np.float32))
+    u_expert = jnp.asarray(
+        0.1 * rng.randn(T, B, nc).astype(np.float32))
+
+    cfg = MPCConfig(n_state=ns, n_ctrl=nc, T=T, lqr_iter=4,
+                    grad_method=GradMethods.ANALYTIC, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=True, linesearch_decay=0.2,
+                    max_linesearch_iter=3)
+
+    @jax.jit
+    def fn(cv, x0):
+        def loss(cv):
+            sol = batched_solve(cfg, x0, QuadCost(C, cv),
+                                LinDx(F, None), u_lower=-2., u_upper=2.)
+            return jnp.mean((sol.u - u_expert) ** 2)
+        return jax.value_and_grad(loss)(cv)
+
+    cv0 = jnp.zeros((T, ntau), dtype)
+    args_list = _perturb(rng, (cv0, x0), index=1, n=n_chunk)
+    dt = _time(fn, args_list)
+    return {'metric': 'imitation_long_examples_per_sec',
+            'value': round(B / dt, 1),
+            'unit': f'examples/s fwd+bwd (B={B}, T={T}, f32)'}
+
+
 def bench_imitation_convergence(B=1024, T=10, chunks=(10, 18, 34, 66,
                                                       130)):
     """Round-2 verdict item 6: show the imitation metric converges as
@@ -423,7 +473,8 @@ def bench_nn_dynamics(B=2048, T=20, hidden=100):
 
 
 def run_all_secondary():
-    for fn in [bench_tvlqr, bench_cartpole, bench_imitation, bench_pod,
+    for fn in [bench_tvlqr, bench_cartpole, bench_imitation,
+               bench_imitation_long, bench_pod,
                bench_long_horizon, bench_nn_dynamics,
                bench_flops_accounting]:
         print(json.dumps(fn()))
