@@ -307,3 +307,65 @@ def make_imitation_train_step(cfg: MPCConfig, optimizer,
         return TrainState(theta, opt_state, state.step + 1), loss
 
     return train_step
+
+
+def make_sharded_train_step(cfg: MPCConfig, mesh, optimizer,
+                            make_cost: Callable,
+                            make_dynamics: Callable,
+                            u_lower=None, u_upper=None,
+                            batch_axes=None):
+    """Imitation train step with EXPLICIT shard_map data parallelism.
+
+    ``make_imitation_train_step`` leaves partitioning to XLA's
+    automatic sharding propagation, which cannot split a
+    ``pallas_call``: on a real multi-chip mesh the fused solver would
+    be replicated (every chip solving the full batch).  This variant
+    ``shard_map``s the per-shard loss gradient over the mesh - each
+    device runs the fused kernel on its LOCAL batch shard - and
+    reduces with one ``pmean``, the scale-out layout of SURVEY.md
+    section 2.3 / the BASELINE north star (collectives only for the
+    loss/gradient reduction; the solve itself is embarrassingly
+    parallel per example, like ``parallel.solve_sharded``).
+
+    ``theta`` (and the optimizer state) are replicated; ``x_init``
+    [B, ns] and ``u_expert`` [T, B, nc] are sharded on the batch axis
+    over ``batch_axes`` (default: ALL mesh axes, the (hosts, chips)
+    pod layout of ``parallel.distributed.make_pod_mesh``).  B must
+    divide evenly over the devices.  ``make_cost``/``make_dynamics``
+    run UNDER the shard_map, so they must be local-batch-size
+    agnostic: return batch-shared layouts (e.g.
+    ``QuadCost(C_[T,ntau,ntau], c_[T,ntau])``) or derive the batch
+    size from traced operands, never from a closed-over global B.
+    ``u_lower``/``u_upper`` likewise: scalars or [T, nc] shared.
+    """
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    if batch_axes is None:
+        batch_axes = mesh.axis_names
+    axes = tuple(batch_axes)
+
+    def local_grad(theta, x0, u_exp):
+        loss, grads = jax.value_and_grad(imitation_loss)(
+            theta, cfg, x0, u_exp, make_cost, make_dynamics,
+            u_lower=u_lower, u_upper=u_upper)
+        # equal shard sizes: global mean = mean of per-shard means
+        loss = jax.lax.pmean(loss, axes)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, axes), grads)
+        return loss, grads
+
+    sharded_grad = jax.shard_map(
+        local_grad, mesh=mesh,
+        in_specs=(P(), P(axes), P(None, axes)),
+        out_specs=(P(), P()), check_vma=False)
+
+    @jax.jit
+    def train_step(state: TrainState, x_init, u_expert):
+        loss, grads = sharded_grad(state.theta, x_init, u_expert)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.theta)
+        theta = optax.apply_updates(state.theta, updates)
+        return TrainState(theta, opt_state, state.step + 1), loss
+
+    return train_step

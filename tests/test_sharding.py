@@ -136,3 +136,51 @@ def test_sharded_nonlinear_solve():
                     linesearch_decay=0.2, max_linesearch_iter=5)(
         jnp.asarray(x0), QuadCost(jnp.asarray(C), jnp.asarray(c)), dx)
     npt.assert_allclose(np.asarray(sol.u), np.asarray(u1), atol=1e-10)
+
+
+def test_sharded_train_step_matches_unsharded():
+    """learning.make_sharded_train_step (explicit shard_map + pmean)
+    must produce the same loss and parameter update as the
+    auto-sharded make_imitation_train_step on one device: the global
+    batch mean equals the pmean of per-shard means for equal shards."""
+    import optax
+    from mpc_tpu.learning import (TrainState, make_imitation_train_step,
+                                  make_sharded_train_step)
+
+    n_batch, T = 16, 5
+    dx = PendulumDx()
+    npr.seed(7)
+    th = np.pi * (2 * npr.random(n_batch) - 1)
+    x0 = jnp.asarray(np.stack([np.cos(th), np.sin(th),
+                               np.zeros(n_batch)], 1))
+    u_expert = jnp.asarray(npr.randn(T, n_batch, 1))
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=3,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    linesearch_decay=0.2, max_linesearch_iter=3)
+    q, p = dx.get_true_obj()
+    theta0 = {'q_log': jnp.log(jnp.asarray(q) + 0.5),
+              'p': jnp.asarray(p)}
+
+    def make_cost(theta):
+        # batch-shared: required under shard_map (local-B agnostic)
+        return QuadCost(jnp.diag(jnp.exp(theta['q_log'])), theta['p'])
+
+    opt = optax.adam(1e-2)
+    mesh = make_mesh()
+    step_sh = make_sharded_train_step(cfg, mesh, opt, make_cost,
+                                      lambda th_: dx,
+                                      u_lower=-2.0, u_upper=2.0)
+    step_un = make_imitation_train_step(cfg, opt, make_cost,
+                                        lambda th_: dx,
+                                        u_lower=-2.0, u_upper=2.0)
+
+    s0 = TrainState(theta0, opt.init(theta0), jnp.asarray(0))
+    with mesh:
+        s_sh, loss_sh = step_sh(s0, x0, u_expert)
+    s_un, loss_un = step_un(s0, x0, u_expert)
+
+    npt.assert_allclose(float(loss_sh), float(loss_un), rtol=1e-5)
+    for k in theta0:
+        npt.assert_allclose(np.asarray(s_sh.theta[k]),
+                            np.asarray(s_un.theta[k]), atol=1e-5)
