@@ -124,3 +124,40 @@ def test_debug_helpers():
         with nan_checks():
             jax.jit(lambda a: a / a)(jnp.zeros(3)).block_until_ready()
     assert not jax.config.jax_debug_nans
+import numpy as np
+import numpy.testing as npt
+
+import jax
+import jax.numpy as jnp
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save/load a TrainState (params + adam state + step) through
+    orbax; restored pytree must match bitwise and keep dtypes."""
+    import optax
+    from mpc_tpu.learning import TrainState
+    from mpc_tpu.utils import load_checkpoint, save_checkpoint
+
+    theta = {'q_log': jnp.asarray([0.1, -0.2, 0.3, 0.0], jnp.float32),
+             'p': jnp.asarray([-1.0, 0.0, 0.0, 0.0], jnp.float32)}
+    opt = optax.adam(1e-2)
+    state = TrainState(theta, opt.init(theta), jnp.asarray(7))
+
+    path = save_checkpoint(str(tmp_path / 'ckpt'), state)
+    like = TrainState(
+        jax.tree_util.tree_map(jnp.zeros_like, theta),
+        opt.init(jax.tree_util.tree_map(jnp.zeros_like, theta)),
+        jnp.asarray(0))
+    restored = load_checkpoint(path, like)
+
+    assert isinstance(restored, TrainState)
+    assert int(restored.step) == 7
+    for k in theta:
+        got = restored.theta[k]
+        assert got.dtype == theta[k].dtype
+        npt.assert_array_equal(np.asarray(got), np.asarray(theta[k]))
+    flat_a = jax.tree_util.tree_leaves(state.opt_state)
+    flat_b = jax.tree_util.tree_leaves(restored.opt_state)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        npt.assert_array_equal(np.asarray(a), np.asarray(b))
