@@ -155,7 +155,7 @@ def sweep_lindx_long_streamed(T=140):
     x0 = jnp.asarray(rng.randn(B, ns).astype(np.float32))
     cfg = base_cfg(n_state=ns, n_ctrl=nc, T=T, lqr_iter=4,
                    grad_method=GradMethods.ANALYTIC)
-    _compare('long streamed LinDx T=140', cfg, lambda cfg_: jax.jit(
+    _compare(f'long streamed LinDx T={T}', cfg, lambda cfg_: jax.jit(
         lambda x: batched_solve(
             cfg_, x, QuadCost(jnp.asarray(Cd), jnp.asarray(c)),
             LinDx(jnp.asarray(F), jnp.asarray(f)),
@@ -179,7 +179,7 @@ def sweep_lindx_long_shared(T=140):
     x0 = jnp.asarray(rng.randn(B, ns).astype(np.float32))
     cfg = base_cfg(n_state=ns, n_ctrl=nc, T=T, lqr_iter=4,
                    grad_method=GradMethods.ANALYTIC)
-    _compare('long shared LinDx T=140', cfg, lambda cfg_: jax.jit(
+    _compare(f'long shared LinDx T={T}', cfg, lambda cfg_: jax.jit(
         lambda x: batched_solve(
             cfg_, x, QuadCost(jnp.asarray(C), jnp.asarray(c)),
             LinDx(jnp.asarray(F), None), u_lower=-1., u_upper=1.).u)(x0))
