@@ -343,7 +343,9 @@ def make_sharded_train_step(cfg: MPCConfig, mesh, optimizer,
 
     if batch_axes is None:
         batch_axes = mesh.axis_names
-    axes = tuple(batch_axes)
+    # a bare axis name must not be split into characters
+    axes = ((batch_axes,) if isinstance(batch_axes, str)
+            else tuple(batch_axes))
 
     def local_grad(theta, x0, u_exp):
         loss, grads = jax.value_and_grad(imitation_loss)(

@@ -131,6 +131,96 @@ def supports_bwd(T, ns, nc, dtype, cost_shared=False,
                                      dyn_shared) <= _BWD_LONG_VMEM_LIMIT)
 
 
+
+def _bwd_ctrl_solve(Qt, qt, Iz_t, ns, nc, zero):
+    """Differential control solve shared by the unrolled and fori-loop
+    backward kernels: free / active-masked 1-D inverse or
+    (masked-free) Cholesky over nested lists of lane registers
+    (reference mpc/lqr_step.py:327-340).  ``Iz_t`` is None when there
+    is no active-set mask.  Returns (kt, Kt)."""
+    Quu = [[Qt[ns + i][ns + j] for j in range(nc)] for i in range(nc)]
+    Qux = [[Qt[ns + i][j] for j in range(ns)] for i in range(nc)]
+    qu = [qt[ns + i] for i in range(nc)]
+    if Iz_t is not None:
+        free = [(Iz_t[i] + zero) < 0.5 for i in range(nc)]
+        if nc == 1:
+            inv = 1.0 / Quu[0][0]
+            kt = [jnp.where(free[0], -qu[0] * inv, 0.0)]
+            Kt = [[jnp.where(free[0], -Qux[0][j] * inv, 0.0)
+                   for j in range(ns)]]
+        else:
+            qu_m = [jnp.where(free[i], qu[i], 0.0) for i in range(nc)]
+            L_f = _masked_free_chol(Quu, free, nc)
+            kt = [-v for v in _chol_solve(L_f, qu_m, nc)]
+            cols = [_chol_solve(
+                L_f,
+                [jnp.where(free[i], Qux[i][j], 0.0) for i in range(nc)],
+                nc)
+                for j in range(ns)]
+            Kt = [[-cols[j][i] for j in range(ns)] for i in range(nc)]
+    elif nc == 1:
+        inv = 1.0 / Quu[0][0]
+        kt = [-qu[0] * inv]
+        Kt = [[-Qux[0][j] * inv for j in range(ns)]]
+    else:
+        L = _cholesky(Quu, nc, jitter=1e-11)
+        kt = [-v for v in _chol_solve(L, qu, nc)]
+        cols = [_chol_solve(L, [Qux[i][j] for i in range(nc)], nc)
+                for j in range(ns)]
+        Kt = [[-cols[j][i] for j in range(ns)] for i in range(nc)]
+    return kt, Kt
+
+
+def _bwd_vv_update(Qt, qt, Kt, kt, ns, nc):
+    """Cost-to-go update of the differential Riccati recursion, shared
+    by both backward kernels (reference mpc/lqr_step.py:155-158)."""
+    Quu = [[Qt[ns + i][ns + j] for j in range(nc)] for i in range(nc)]
+    qu = [qt[ns + i] for i in range(nc)]
+    QK = _mat(ns, ns)
+    for i in range(ns):
+        for j in range(ns):
+            QK[i][j] = sum(Qt[i][ns + m] * Kt[m][j] for m in range(nc))
+    KQuu = _mat(nc, ns)
+    for m in range(nc):
+        for j in range(ns):
+            KQuu[m][j] = sum(Quu[m][mm] * Kt[mm][j] for mm in range(nc))
+    Vn = _mat(ns, ns)
+    for i in range(ns):
+        for j in range(i, ns):
+            kqk = sum(Kt[m][i] * KQuu[m][j] for m in range(nc))
+            Vn[i][j] = Qt[i][j] + QK[i][j] + QK[j][i] + kqk
+            Vn[j][i] = Vn[i][j]
+    Quuk = [sum(Quu[m][mm] * kt[mm] for mm in range(nc))
+            for m in range(nc)]
+    vn = [qt[i]
+          + sum(Qt[i][ns + m] * kt[m] for m in range(nc))
+          + sum(Kt[m][i] * (qu[m] + Quuk[m]) for m in range(nc))
+          for i in range(ns)]
+    return Vn, vn
+
+
+def _prep_tile(a, batch_pad, G, dtype, zero_pad=False):
+    """[*, B, *] -> [*, *, G, SUB, LANE] batch-tile layout (batch on
+    axis 1), edge- or zero-padding the batch to full tiles."""
+    a = jnp.asarray(a, dtype)
+    if batch_pad:
+        widths = [(0, 0)] * a.ndim
+        widths[1] = (0, batch_pad)
+        a = jnp.pad(a, widths, mode='constant' if zero_pad else 'edge')
+    a = jnp.moveaxis(a, 1, -1)
+    return a.reshape(a.shape[:-1] + (G, SUB, LANE))
+
+
+def _unprep_tile(a, batch_axis, Bp, B):
+    """Inverse of ``_prep_tile``: collapse (G, SUB, LANE) back to the
+    batch axis and drop the padding."""
+    a = a.reshape(a.shape[:-3] + (Bp,))
+    a = jnp.moveaxis(a, -1, batch_axis)
+    idx = [slice(None)] * a.ndim
+    idx[batch_axis] = slice(0, B)
+    return a[tuple(idx)]
+
+
 def _make_bwd_kernel(*, T, ns, nc, has_I, has_f, cost_shared,
                      dyn_shared):
     ntau = ns + nc
@@ -200,70 +290,11 @@ def _make_bwd_kernel(*, T, ns, nc, has_I, has_f, cost_shared,
                                      for kk in range(ns))
                       for a in range(ntau)]
 
-            Quu = [[Qt[ns + i][ns + j] for j in range(nc)]
-                   for i in range(nc)]
-            Qux = [[Qt[ns + i][j] for j in range(ns)]
-                   for i in range(nc)]
-            qu = [qt[ns + i] for i in range(nc)]
-
-            if has_I:
-                free = [(Iz[t][i] + zero) < 0.5 for i in range(nc)]
-                if nc == 1:
-                    inv = 1.0 / Quu[0][0]
-                    kt = [jnp.where(free[0], -qu[0] * inv, 0.0)]
-                    Kt = [[jnp.where(free[0], -Qux[0][j] * inv, 0.0)
-                           for j in range(ns)]]
-                else:
-                    qu_m = [jnp.where(free[i], qu[i], 0.0)
-                            for i in range(nc)]
-                    L_f = _masked_free_chol(Quu, free, nc)
-                    kt = [-v for v in _chol_solve(L_f, qu_m, nc)]
-                    cols = [_chol_solve(
-                        L_f,
-                        [jnp.where(free[i], Qux[i][j], 0.0)
-                         for i in range(nc)], nc)
-                        for j in range(ns)]
-                    Kt = [[-cols[j][i] for j in range(ns)]
-                          for i in range(nc)]
-            elif nc == 1:
-                inv = 1.0 / Quu[0][0]
-                kt = [-qu[0] * inv]
-                Kt = [[-Qux[0][j] * inv for j in range(ns)]]
-            else:
-                L = _cholesky(Quu, nc, jitter=1e-11)
-                kt = [-v for v in _chol_solve(L, qu, nc)]
-                cols = [_chol_solve(L, [Qux[i][j] for i in range(nc)],
-                                    nc)
-                        for j in range(ns)]
-                Kt = [[-cols[j][i] for j in range(ns)]
-                      for i in range(nc)]
+            kt, Kt = _bwd_ctrl_solve(Qt, qt, Iz[t] if has_I else None,
+                                     ns, nc, zero)
             K[t] = Kt
             k[t] = kt
-
-            # cost-to-go update
-            QK = _mat(ns, ns)
-            for i in range(ns):
-                for j in range(ns):
-                    QK[i][j] = sum(Qt[i][ns + m] * Kt[m][j]
-                                   for m in range(nc))
-            KQuu = _mat(nc, ns)
-            for m in range(nc):
-                for j in range(ns):
-                    KQuu[m][j] = sum(Quu[m][mm] * Kt[mm][j]
-                                     for mm in range(nc))
-            Vn = _mat(ns, ns)
-            for i in range(ns):
-                for j in range(i, ns):
-                    kqk = sum(Kt[m][i] * KQuu[m][j] for m in range(nc))
-                    Vn[i][j] = Qt[i][j] + QK[i][j] + QK[j][i] + kqk
-                    Vn[j][i] = Vn[i][j]
-            Quuk = [sum(Quu[m][mm] * kt[mm] for mm in range(nc))
-                    for m in range(nc)]
-            vn = [qt[i]
-                  + sum(Qt[i][ns + m] * kt[m] for m in range(nc))
-                  + sum(Kt[m][i] * (qu[m] + Quuk[m]) for m in range(nc))
-                  for i in range(ns)]
-            Vm, vv = Vn, vn
+            Vm, vv = _bwd_vv_update(Qt, qt, Kt, kt, ns, nc)
 
         # ---- differential rollout (dx_0 = 0) -------------------------
         dx = [[zero for _ in range(ns)]]
@@ -451,75 +482,6 @@ def _make_bwd_kernel_long(*, T, ns, nc, has_I, has_f, cost_shared,
         def zero():
             return zc[0]
 
-        # ---- shared small-matrix steps (same math as the unrolled
-        # kernel; reference mpc/lqr_step.py:327-340) --------------------
-        def ctrl_solve(Qt, qt, Iz_t):
-            Quu = [[Qt[ns + i][ns + j] for j in range(nc)]
-                   for i in range(nc)]
-            Qux = [[Qt[ns + i][j] for j in range(ns)]
-                   for i in range(nc)]
-            qu = [qt[ns + i] for i in range(nc)]
-            if has_I:
-                free = [(Iz_t[i] + zero()) < 0.5 for i in range(nc)]
-                if nc == 1:
-                    inv = 1.0 / Quu[0][0]
-                    kt = [jnp.where(free[0], -qu[0] * inv, 0.0)]
-                    Kt = [[jnp.where(free[0], -Qux[0][j] * inv, 0.0)
-                           for j in range(ns)]]
-                else:
-                    qu_m = [jnp.where(free[i], qu[i], 0.0)
-                            for i in range(nc)]
-                    L_f = _masked_free_chol(Quu, free, nc)
-                    kt = [-v for v in _chol_solve(L_f, qu_m, nc)]
-                    cols = [_chol_solve(
-                        L_f,
-                        [jnp.where(free[i], Qux[i][j], 0.0)
-                         for i in range(nc)], nc)
-                        for j in range(ns)]
-                    Kt = [[-cols[j][i] for j in range(ns)]
-                          for i in range(nc)]
-            elif nc == 1:
-                inv = 1.0 / Quu[0][0]
-                kt = [-qu[0] * inv]
-                Kt = [[-Qux[0][j] * inv for j in range(ns)]]
-            else:
-                L = _cholesky(Quu, nc, jitter=1e-11)
-                kt = [-v for v in _chol_solve(L, qu, nc)]
-                cols = [_chol_solve(L, [Qux[i][j] for i in range(nc)],
-                                    nc)
-                        for j in range(ns)]
-                Kt = [[-cols[j][i] for j in range(ns)]
-                      for i in range(nc)]
-            return kt, Kt
-
-        def vv_update(Qt, qt, Kt, kt):
-            Quu = [[Qt[ns + i][ns + j] for j in range(nc)]
-                   for i in range(nc)]
-            qu = [qt[ns + i] for i in range(nc)]
-            QK = _mat(ns, ns)
-            for i in range(ns):
-                for j in range(ns):
-                    QK[i][j] = sum(Qt[i][ns + m] * Kt[m][j]
-                                   for m in range(nc))
-            KQuu = _mat(nc, ns)
-            for m in range(nc):
-                for j in range(ns):
-                    KQuu[m][j] = sum(Quu[m][mm] * Kt[mm][j]
-                                     for mm in range(nc))
-            Vn = _mat(ns, ns)
-            for i in range(ns):
-                for j in range(i, ns):
-                    kqk = sum(Kt[m][i] * KQuu[m][j] for m in range(nc))
-                    Vn[i][j] = Qt[i][j] + QK[i][j] + QK[j][i] + kqk
-                    Vn[j][i] = Vn[i][j]
-            Quuk = [sum(Quu[m][mm] * kt[mm] for mm in range(nc))
-                    for m in range(nc)]
-            vn = [qt[i]
-                  + sum(Qt[i][ns + m] * kt[m] for m in range(nc))
-                  + sum(Kt[m][i] * (qu[m] + Quuk[m]) for m in range(nc))
-                  for i in range(ns)]
-            return Vn, vn
-
         def write_gains(t, Kt, kt):
             for m in range(nc):
                 k_ref[t, m] = kt[m] + zero()
@@ -548,9 +510,9 @@ def _make_bwd_kernel_long(*, T, ns, nc, has_I, has_f, cost_shared,
             Ct_pe, _ = C_load(sl)
         qt_pe = [-r_pe[a] for a in range(ntau)]
         Iz_pe = vload(sl, IO, nc) if has_I else None
-        kt, Kt = ctrl_solve(Ct_pe, qt_pe, Iz_pe)
+        kt, Kt = _bwd_ctrl_solve(Ct_pe, qt_pe, Iz_pe, ns, nc, zero())
         write_gains(T - 1, Kt, kt)
-        V, v = vv_update(Ct_pe, qt_pe, Kt, kt)
+        V, v = _bwd_vv_update(Ct_pe, qt_pe, Kt, kt, ns, nc)
         # broadcast the peeled carry so the fori body's carry types are
         # uniform (shared-C unconstrained peels can stay 0-d otherwise)
         V = [[V[i][j] + zero() for j in range(ns)] for i in range(ns)]
@@ -595,9 +557,9 @@ def _make_bwd_kernel_long(*, T, ns, nc, has_I, has_f, cost_shared,
                     Qt[b][a] = Qt[a][b]
             qt = [-r_t[a] + sum(Ft[kk][a] * v[kk] for kk in range(ns))
                   for a in range(ntau)]
-            kt, Kt = ctrl_solve(Qt, qt, Iz_t)
+            kt, Kt = _bwd_ctrl_solve(Qt, qt, Iz_t, ns, nc, zero())
             write_gains(t, Kt, kt)
-            return vv_update(Qt, qt, Kt, kt)
+            return _bwd_vv_update(Qt, qt, Kt, kt, ns, nc)
 
         if T >= 2:
             lax.fori_loop(0, T - 1, rstep, (V, v))
@@ -810,6 +772,18 @@ def fused_kkt_backward(n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
     dyn_shared = jnp.ndim(F) == 3
 
     if _bwd_route_long(T, ns, nc, cost_shared, dyn_shared):
+        # direct callers (make_batched_fixed_point without a
+        # supports_bwd pre-gate) must not silently build a kernel past
+        # the long kernel's SMEM/VMEM budgets: that compiles in
+        # interpret mode and crashes only in Mosaic's TPU lowering -
+        # the exact hidden-crash class of the round-3 G>1 bug
+        if not supports_bwd(T, ns, nc, dtype, cost_shared, dyn_shared):
+            raise ValueError(
+                f'fused KKT backward out of scope for T={T}, ns={ns}, '
+                f'nc={nc} (cost_shared={cost_shared}, '
+                f'dyn_shared={dyn_shared}): exceeds the fori-loop '
+                f'kernel\'s SMEM/VMEM budget - gate on supports_bwd() '
+                f'and use the jnp backward (ops.diff) instead')
         return _fused_kkt_backward_long(
             n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
             I_mask=I_mask, has_f=has_f, interpret=interpret)
@@ -819,14 +793,7 @@ def fused_kkt_backward(n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
     pad = Bp - B
 
     def prep(a, zero_pad=False):
-        a = jnp.asarray(a, dtype)
-        if pad:
-            widths = [(0, 0)] * a.ndim
-            widths[1] = (0, pad)
-            a = jnp.pad(a, widths,
-                        mode='constant' if zero_pad else 'edge')
-        a = jnp.moveaxis(a, 1, -1)
-        return a.reshape(a.shape[:-1] + (G, SUB, LANE))
+        return _prep_tile(a, pad, G, dtype, zero_pad=zero_pad)
 
     if cost_shared:
         Cv = jnp.asarray(C, dtype).reshape(T, ntau * ntau)
@@ -911,11 +878,7 @@ def fused_kkt_backward(n_state, C, c, F, x_star, u_star, dl_dx, dl_du,
       prep(dl_du, zero_pad=True), prep(x_star), prep(u_star), Iv)
 
     def unprep(a, batch_axis):
-        a = a.reshape(a.shape[:-3] + (Bp,))
-        a = jnp.moveaxis(a, -1, batch_axis)
-        idx = [slice(None)] * a.ndim
-        idx[batch_axis] = slice(0, B)
-        return a[tuple(idx)]
+        return _unprep_tile(a, batch_axis, Bp, B)
 
     dxi, dC, dc, dF, df = outs
     dxi = unprep(dxi, 0)
@@ -959,14 +922,7 @@ def _fused_kkt_backward_long(n_state, C, c, F, x_star, u_star, dl_dx,
     pad = Bp - B
 
     def prep(a, zero_pad=False):
-        a = jnp.asarray(a, dtype)
-        if pad:
-            widths = [(0, 0)] * a.ndim
-            widths[1] = (0, pad)
-            a = jnp.pad(a, widths,
-                        mode='constant' if zero_pad else 'edge')
-        a = jnp.moveaxis(a, 1, -1)
-        return a.reshape(a.shape[:-1] + (G, SUB, LANE))
+        return _prep_tile(a, pad, G, dtype, zero_pad=zero_pad)
 
     # ---- packed per-t vec: rows (rx | ru | x | u | I) -> [G,T,R,8,128]
     parts = [prep(dl_dx, zero_pad=True), prep(dl_du, zero_pad=True),
@@ -1075,11 +1031,7 @@ def _fused_kkt_backward_long(n_state, C, c, F, x_star, u_star, dl_dx,
     )(Cv, cvv, Fv, vec)
 
     def unprep(a, batch_axis):
-        a = a.reshape(a.shape[:-3] + (Bp,))
-        a = jnp.moveaxis(a, -1, batch_axis)
-        idx = [slice(None)] * a.ndim
-        idx[batch_axis] = slice(0, B)
-        return a[tuple(idx)]
+        return _unprep_tile(a, batch_axis, Bp, B)
 
     dxi, dCo, dco, dFo, dfo = outs
     dxi = unprep(dxi, 0)

@@ -207,6 +207,14 @@ def test_bwd_long_mixed_layouts():
     _vjp_case_long(3, 1, 130, 16, True, False, False, False, 3)
 
 
+def test_bwd_long_shared_multitile():
+    """G>1 through the fori-loop kernel: the resident-SMEM gradient
+    accumulation and per-program stream indexing at B=2050 (three grid
+    programs, padded last tile) - interpret-mode counterpart of the
+    hardware sweep's long-backward case."""
+    _vjp_case_long(3, 1, 130, 2050, True, True, True, True, 4)
+
+
 def test_bwd_long_t_reach():
     """The fori-loop kernel extends supports_bwd past the unrolled
     VMEM bound to the forward long kernel's territory."""

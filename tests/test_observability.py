@@ -3,7 +3,9 @@ initial-cost print, table_log row, and the unconverged warning
 (reference mpc/mpc.py:238-243, 287-297, 326-328)."""
 
 import numpy as np
+import numpy.testing as npt
 
+import jax
 import jax.numpy as jnp
 
 from mpc_tpu import GradMethods, MPC, QuadCost
@@ -124,11 +126,6 @@ def test_debug_helpers():
         with nan_checks():
             jax.jit(lambda a: a / a)(jnp.zeros(3)).block_until_ready()
     assert not jax.config.jax_debug_nans
-import numpy as np
-import numpy.testing as npt
-
-import jax
-import jax.numpy as jnp
 
 
 def test_checkpoint_roundtrip(tmp_path):
