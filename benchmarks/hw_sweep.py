@@ -327,6 +327,63 @@ def sweep_backward_long_shared(T=130):
     assert cos > 0.999999, cos
 
 
+def sweep_backward_long_batched(T=131):
+    """Long-horizon backward with BATCHED (C, c, F): per-program HBM
+    stream-in of the operands and stream-out of the per-example
+    (dC|dc)/(dF|df) slices at G>1 (the gi-indexed DMA descriptors).
+    Same-primal check against the jnp backward layer."""
+    from mpc_tpu.ops import fused_bwd
+    from mpc_tpu.ops.diff import make_lqr_fixed_point
+
+    ns, nc = 3, 1
+    ntau = ns + nc
+    rng = np.random.RandomState(11)
+    Cr = rng.randn(T, B, ntau, ntau).astype(np.float32)
+    C = jnp.asarray(np.einsum('tbij,tbkj->tbik', Cr, Cr)
+                    + np.eye(ntau, dtype=np.float32))
+    c = jnp.asarray(rng.randn(T, B, ntau).astype(np.float32))
+    Fn = 0.3 * rng.randn(T - 1, B, ns, ntau).astype(np.float32)
+    Fn[..., :, :ns] += 0.8 * np.eye(ns, dtype=np.float32)
+    F = jnp.asarray(Fn)
+    f = jnp.asarray(0.1 * rng.randn(T - 1, B, ns).astype(np.float32))
+    xs = jnp.asarray(rng.randn(T, B, ns).astype(np.float32))
+    us = np.random.RandomState(12).randn(T, B, nc).astype(np.float32)
+    m = rng.rand(T, B, nc) < 0.3
+    us = jnp.asarray(np.where(m, np.sign(us), us).astype(np.float32))
+    lb = jnp.full((T, B, nc), -1.0, jnp.float32)
+    ub = jnp.full((T, B, nc), 1.0, jnp.float32)
+    gx = jnp.asarray(rng.randn(T, B, ns).astype(np.float32))
+    gu = jnp.asarray(rng.randn(T, B, nc).astype(np.float32))
+    x0 = jnp.zeros((B, ns), jnp.float32)
+
+    assert fused_bwd._bwd_route_long(T, ns, nc, False, False)
+    fp_k = fused_bwd.make_batched_fixed_point(ns, True, True)
+    fp_j_one = make_lqr_fixed_point(ns, True, True)
+
+    def grads(fp, vmapped):
+        def run(args):
+            if vmapped:
+                out = jax.vmap(fp, in_axes=(0, 1, 1, 1, 1, 1, 1, 1, 1),
+                               out_axes=(1, 1))(*args)
+            else:
+                out = fp(*args)
+            return jnp.sum(out[0] * gx) + jnp.sum(out[1] * gu)
+        return jax.jit(jax.grad(run))((x0, C, c, F, f, lb, ub, xs, us))
+
+    g_k = grads(fp_k, False)
+    with jax.default_matmul_precision('float32'):
+        g_j = grads(fp_j_one, True)
+    worst = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(g_k)[:5],
+                    jax.tree_util.tree_leaves(g_j)[:5]):
+        a, b = np.asarray(a), np.asarray(b)
+        worst = max(worst, np.abs(a - b).max() /
+                    (np.abs(b).max() + 1e-9))
+    print(f'[backward long batched T={T} G=3] same-primal grad rel '
+          f'{worst:.3e}')
+    assert worst < 1e-4, worst
+
+
 if __name__ == '__main__':
     sweep_pendulum_uzero_shared()
     sweep_pendulum_uzero_batched()
@@ -338,4 +395,5 @@ if __name__ == '__main__':
     sweep_soa_cost()
     sweep_backward_shared()
     sweep_backward_long_shared()
+    sweep_backward_long_batched()
     print('ALL G>1 HARDWARE SWEEPS PASS')
