@@ -126,6 +126,40 @@ def main():
     print(f'LOSS_ERR {lerr:.3e}', flush=True)
     print(f'GRAD_ERR {gerr:.3e}', flush=True)
 
+    # ---- path 3: explicit shard_map train step (pmean collective) ------
+    # learning.make_sharded_train_step is the path real pods use (XLA's
+    # automatic partitioner cannot split a pallas_call); here its pmean
+    # runs over BOTH mesh axes, crossing the process (DCN-analog) axis
+    # through the Gloo backend.
+    import optax
+    from mpc_tpu.learning import TrainState, make_sharded_train_step
+
+    opt = optax.adam(1e-2)
+    step_sh = make_sharded_train_step(cfg_bp, mesh, opt, make_cost,
+                                      make_dynamics,
+                                      u_lower=-2.0, u_upper=2.0)
+    st0_g = TrainState(theta_g, dist.replicate(opt.init(theta0), mesh),
+                       jnp.asarray(0))
+    with jax.sharding.set_mesh(mesh):
+        st1, tr_loss = step_sh(st0_g, x0_g, ue_g)
+        tr_loss = float(tr_loss)
+        th1 = np.asarray(jax.device_get(st1.theta['c']), np.float64)
+
+    # single-process reference train step on the full batch
+    from mpc_tpu.learning import make_imitation_train_step
+    step_ref = make_imitation_train_step(cfg_bp, opt, make_cost,
+                                         make_dynamics,
+                                         u_lower=-2.0, u_upper=2.0)
+    st_ref = TrainState(theta0, opt.init(theta0), jnp.asarray(0))
+    st_ref1, ref_tr_loss = step_ref(st_ref, jnp.asarray(x0_full),
+                                    jnp.asarray(u_expert_full))
+    th_err = float(np.max(np.abs(
+        th1 - np.asarray(st_ref1.theta['c'], np.float64))))
+    print(f'TRAIN_LOSS {tr_loss:.10e}', flush=True)
+    print(f'TRAIN_LOSS_ERR {abs(tr_loss - float(ref_tr_loss)):.3e}',
+          flush=True)
+    print(f'TRAIN_THETA_ERR {th_err:.3e}', flush=True)
+
     # ---- weak-scaling efficiency proxy ---------------------------------
     # Fixed per-process load: a 1-process baseline on this process's
     # local devices vs the 2-process run at double the global batch.

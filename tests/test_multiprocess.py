@@ -66,6 +66,14 @@ def test_two_process_pod_mesh():
     assert field(outs[0], 'LOSS') == field(outs[1], 'LOSS')
     assert field(outs[0], 'GRAD_SUM') == field(outs[1], 'GRAD_SUM')
 
+    # explicit shard_map train step (make_sharded_train_step): the
+    # pmean crosses the process axis; both processes must apply the
+    # identical update, matching the single-process reference step
+    for out in outs:
+        assert float(field(out, 'TRAIN_LOSS_ERR')) <= 1e-5
+        assert float(field(out, 'TRAIN_THETA_ERR')) <= 1e-5
+    assert field(outs[0], 'TRAIN_LOSS') == field(outs[1], 'TRAIN_LOSS')
+
     # weak-scaling efficiency proxy: fixed per-process load, 1-process
     # local-mesh baseline vs the 2-process pod run.  A structural bound
     # only (virtual CPU devices + Gloo, not ICI) - the floor is loose
