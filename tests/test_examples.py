@@ -46,3 +46,30 @@ def test_control_cartpole_smoke():
     assert np.all(np.isfinite(states))
     assert np.all(np.isfinite(costs))
     assert np.max(np.abs(states[-1] - states[0])) > 1e-4
+
+
+def test_pod_imitation_smoke(tmp_path):
+    """examples/pod_imitation.py end-to-end on the local (virtual)
+    mesh: loss decreases, checkpoint round-trips."""
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'examples', 'pod_imitation.py')
+    ck = str(tmp_path / 'ck')
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, script, '--batch', '32', '--horizon', '6',
+         '--steps', '6', '--checkpoint', ck],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    losses = [float(line.split()[-1]) for line in out.stdout.splitlines()
+              if line.strip().startswith('step')]
+    assert len(losses) >= 2 and losses[-1] < losses[0], out.stdout
+    assert 'saved TrainState' in out.stdout
+    # resume from the checkpoint
+    out2 = subprocess.run(
+        [sys.executable, script, '--batch', '32', '--horizon', '6',
+         '--steps', '2', '--resume', ck],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out2.returncode == 0, out2.stdout + out2.stderr
+    assert 'resumed from' in out2.stdout
