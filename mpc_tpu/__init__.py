@@ -18,7 +18,9 @@ from .types import GradMethods, LinDx, MPCConfig, QuadCost, Solution
 from .mpc import MPC, SlewRateCost
 from .solver import (linearize_dynamics, quadratize_cost, rollout,
                      solve_single, trajectory_cost)
-from .learning import batched_solve
+from .learning import (TrainState, batched_solve, imitation_loss,
+                       make_imitation_train_step,
+                       make_sharded_train_step)
 
 __version__ = '0.1.0'
 
@@ -27,4 +29,6 @@ __all__ = [
     'MPCConfig', 'Solution',
     'solve_single', 'batched_solve', 'rollout', 'trajectory_cost',
     'linearize_dynamics', 'quadratize_cost',
+    'TrainState', 'imitation_loss', 'make_imitation_train_step',
+    'make_sharded_train_step',
 ]
