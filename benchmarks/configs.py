@@ -217,6 +217,51 @@ def bench_imitation_long(B=4096, T=160, n_chunk=34):
             'unit': f'examples/s fwd+bwd (B={B}, T={T}, f32)'}
 
 
+def bench_closed_loop(Bs=(1, 16, 256), T=20, steps=100, reps=8):
+    """Fully on-device receding-horizon stepping
+    (mpc_tpu.make_closed_loop): N solve->act->shift steps as ONE
+    lax.scan dispatch, no host in the loop.  Measured round 3:
+    ~550 us/env-step at B=1..256 - i.e. the per-step cost is the
+    SOLVE's serial dependency-chain latency on-chip, not host/tunnel
+    dispatch (which adds only ~100-300 us to the host-loop figures in
+    bench_latency).  Compare bench_latency (host loop)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu import (GradMethods, MPCConfig, QuadCost,
+                         make_closed_loop)
+    from mpc_tpu.models import PendulumDx
+
+    dx = PendulumDx()
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q).astype(jnp.float32),
+                    jnp.asarray(p, jnp.float32))
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=10,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=5)
+    rng = np.random.RandomState(0)
+    rows = []
+    for B in Bs:
+        th = np.pi * (2 * rng.rand(B) - 1)
+        x0 = jnp.asarray(np.stack(
+            [np.cos(th), np.sin(th), np.zeros(B)], 1), jnp.float32)
+        roll = make_closed_loop(cfg, cost, dx, u_lower=-2., u_upper=2.)
+        out = jax.block_until_ready(roll(x0, steps))
+        t0 = time.perf_counter()
+        for k in range(reps):
+            out = roll(x0 + 1e-4 * k, steps)
+        jax.block_until_ready(out)
+        us = (time.perf_counter() - t0) / (reps * steps) * 1e6
+        rows.append({'metric': f'closed_loop_us_per_step_b{B}',
+                     'value': round(us, 1),
+                     'unit': f'us/env-step on-device (T={T}, '
+                             f'lqr_iter=10, {steps}-step scan)'})
+    return rows
+
+
 def bench_imitation_convergence(B=1024, T=10, chunks=(10, 18, 34, 66,
                                                       130)):
     """Round-2 verdict item 6: show the imitation metric converges as
@@ -479,6 +524,8 @@ def run_all_secondary():
                bench_flops_accounting]:
         print(json.dumps(fn()))
     for row in bench_latency():
+        print(json.dumps(row))
+    for row in bench_closed_loop():
         print(json.dumps(row))
 
 

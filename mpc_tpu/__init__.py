@@ -21,6 +21,7 @@ from .solver import (linearize_dynamics, quadratize_cost, rollout,
 from .learning import (TrainState, batched_solve, imitation_loss,
                        make_imitation_train_step,
                        make_sharded_train_step)
+from .closed_loop import make_closed_loop
 
 __version__ = '0.1.0'
 
@@ -30,5 +31,5 @@ __all__ = [
     'solve_single', 'batched_solve', 'rollout', 'trajectory_cost',
     'linearize_dynamics', 'quadratize_cost',
     'TrainState', 'imitation_loss', 'make_imitation_train_step',
-    'make_sharded_train_step',
+    'make_sharded_train_step', 'make_closed_loop',
 ]

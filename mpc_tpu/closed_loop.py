@@ -1,0 +1,82 @@
+"""Fully on-device closed-loop MPC rollouts.
+
+The reference's receding-horizon pattern is a HOST loop - solve, apply
+the first control, shift the warm start, repeat
+(mpc/env_dx/control.py:52-62; examples/gym_pendulum.py:92-100).  Every
+step pays a host->device round trip, so closed-loop stepping is
+latency-bound (~600-900us/step through this rig's tunneled runtime)
+regardless of how fast the solve kernel is.
+
+``make_closed_loop`` compiles the WHOLE loop instead: a ``lax.scan``
+whose body solves the T-step MPC (through the fused Pallas kernel when
+in scope), applies the first control to the environment dynamics, and
+carries the shifted control sequence as the next warm start.  One
+dispatch executes N environment steps with zero host involvement - the
+natural shape for policy evaluation, data collection, or embedding the
+controller inside a larger jitted program (e.g. an RL training loop).
+
+The warm-start protocol matches the host-loop runner exactly
+(examples/control.py): shift the solved sequence left one step and
+zero-fill the tail, so results are identical to the host loop up to
+f32 reduction order.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .learning import batched_solve
+from .types import MPCConfig
+
+
+def make_closed_loop(cfg: MPCConfig, cost, dynamics,
+                     env_dynamics: Optional[Callable] = None,
+                     u_lower=None, u_upper=None):
+    """Build a jitted closed-loop rollout function.
+
+    ``cost``/``dynamics`` parameterize the CONTROLLER's internal model;
+    ``env_dynamics`` (default: ``dynamics``) steps the actual
+    environment - pass the true dynamics here to evaluate a controller
+    whose internal model is learned/mismatched (the sysid evaluation
+    loop of examples/gym_pendulum_approximate.py).
+
+    Returns ``rollout(x_init, n_steps)`` with ``x_init`` [B, n_state]
+    and static ``n_steps``, producing a dict with
+      xs      [n_steps+1, B, n_state]  visited environment states
+      us      [n_steps, B, n_ctrl]     applied (first) controls
+      costs   [n_steps, B]             controller objective per solve
+    Each distinct ``n_steps`` compiles once (the MPC solve inside the
+    scan body is compiled a single time).
+    """
+    env = env_dynamics if env_dynamics is not None else dynamics
+    T, nc = cfg.T, cfg.n_ctrl
+
+    def solve(x, u_init):
+        sol = batched_solve(cfg, x, cost, dynamics, u_init=u_init,
+                            u_lower=u_lower, u_upper=u_upper)
+        return sol.u, sol.costs
+
+    def body(carry, _):
+        x, u_warm = carry
+        u_seq, costs = solve(x, u_warm)
+        u0 = u_seq[0]
+        x_next = env(x, u0)
+        # shift-left warm start, zero tail (examples/control.py,
+        # reference examples/gym_pendulum.py:100)
+        u_warm = jnp.concatenate(
+            [u_seq[1:], jnp.zeros_like(u_seq[:1])], axis=0)
+        return (x_next, u_warm), (x_next, u0, costs)
+
+    def rollout(x_init, n_steps: int):
+        B = x_init.shape[0]
+        u_warm0 = jnp.zeros((T, B, nc), jnp.asarray(x_init).dtype)
+        (_, _), (xs, us, costs) = lax.scan(
+            body, (x_init, u_warm0), None, length=n_steps)
+        return {'xs': jnp.concatenate([x_init[None], xs], axis=0),
+                'us': us, 'costs': costs}
+
+    return jax.jit(rollout, static_argnums=1)

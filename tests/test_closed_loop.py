@@ -1,0 +1,76 @@
+"""On-device closed-loop rollout vs the host loop."""
+import numpy as np
+import numpy.testing as npt
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu import (GradMethods, MPCConfig, QuadCost, batched_solve,
+                     make_closed_loop)
+from mpc_tpu.models import PendulumDx
+
+
+def _setup(B=4, T=8):
+    dx = PendulumDx()
+    rng = np.random.RandomState(0)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1))
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), jnp.asarray(p))
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=4,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=3)
+    return dx, x0, cost, cfg
+
+
+def test_closed_loop_matches_host_loop():
+    """One compiled lax.scan must reproduce the host-side receding-
+    horizon loop (same shift-left warm-start protocol) exactly."""
+    dx, x0, cost, cfg = _setup()
+    n_steps = 6
+    roll = make_closed_loop(cfg, cost, dx, u_lower=-2.0, u_upper=2.0)
+    out = roll(x0, n_steps)
+
+    # host loop with the identical protocol
+    x = x0
+    u_warm = jnp.zeros((cfg.T, x0.shape[0], 1), x0.dtype)
+    xs, us = [x], []
+    for _ in range(n_steps):
+        sol = batched_solve(cfg, x, cost, dx, u_init=u_warm,
+                            u_lower=-2.0, u_upper=2.0)
+        u0 = sol.u[0]
+        x = dx(x, u0)
+        u_warm = jnp.concatenate([sol.u[1:], jnp.zeros_like(sol.u[:1])],
+                                 axis=0)
+        xs.append(x)
+        us.append(u0)
+
+    npt.assert_allclose(np.asarray(out['us']),
+                        np.asarray(jnp.stack(us)), atol=1e-5)
+    npt.assert_allclose(np.asarray(out['xs']),
+                        np.asarray(jnp.stack(xs)), atol=1e-4)
+
+
+def test_closed_loop_swings_up():
+    """100 compiled steps stabilize the pendulum (the product demo as
+    one device program)."""
+    dx, x0, cost, cfg = _setup(B=4, T=20)
+    roll = make_closed_loop(cfg, cost, dx, u_lower=-2.0, u_upper=2.0)
+    out = roll(x0, 100)
+    cos_th = np.asarray(out['xs'][-1][:, 0])
+    assert np.all(cos_th > 0.9), cos_th
+
+
+def test_closed_loop_model_mismatch():
+    """env_dynamics decoupled from the controller's internal model."""
+    dx, x0, cost, cfg = _setup()
+    dx_wrong = PendulumDx(params=jnp.asarray([10.0, 1.2, 1.0]))
+    roll = make_closed_loop(cfg, cost, dx_wrong, env_dynamics=dx,
+                            u_lower=-2.0, u_upper=2.0)
+    out = roll(x0, 4)
+    # environment states must follow the TRUE dynamics
+    x1 = dx(x0, out['us'][0])
+    npt.assert_allclose(np.asarray(out['xs'][1]), np.asarray(x1),
+                        atol=1e-6)
