@@ -51,6 +51,11 @@ def make_closed_loop(cfg: MPCConfig, cost, dynamics,
       costs   [n_steps, B]             controller objective per solve
     Each distinct ``n_steps`` compiles once (the MPC solve inside the
     scan body is compiled a single time).
+
+    Composes with ``jax.shard_map`` for sharded policy evaluation
+    (wrap ``lambda x: rollout(x, n)`` with the batch axis sharded,
+    like ``parallel.solve_sharded``); verified equivalent to the local
+    rollout at f32 epsilon on an 8-device mesh.
     """
     env = env_dynamics if env_dynamics is not None else dynamics
     T, nc = cfg.T, cfg.n_ctrl
