@@ -59,28 +59,35 @@ def make_closed_loop(cfg: MPCConfig, cost, dynamics,
     """
     env = env_dynamics if env_dynamics is not None else dynamics
     T, nc = cfg.T, cfg.n_ctrl
+    # with a slew-rate penalty, each solve must see the LAST APPLIED
+    # control as prev_ctrl (the reference's receding-horizon contract
+    # for u_{-1}, mpc/mpc.py:115-116); without one, prev_ctrl is unused
+    has_slew = cfg.slew_rate_penalty is not None
 
-    def solve(x, u_init):
+    def solve(x, u_init, prev):
         sol = batched_solve(cfg, x, cost, dynamics, u_init=u_init,
-                            u_lower=u_lower, u_upper=u_upper)
+                            u_lower=u_lower, u_upper=u_upper,
+                            prev_ctrl=prev if has_slew else None)
         return sol.u, sol.costs
 
     def body(carry, _):
-        x, u_warm = carry
-        u_seq, costs = solve(x, u_warm)
+        x, u_warm, prev = carry
+        u_seq, costs = solve(x, u_warm, prev)
         u0 = u_seq[0]
         x_next = env(x, u0)
         # shift-left warm start, zero tail (examples/control.py,
         # reference examples/gym_pendulum.py:100)
         u_warm = jnp.concatenate(
             [u_seq[1:], jnp.zeros_like(u_seq[:1])], axis=0)
-        return (x_next, u_warm), (x_next, u0, costs)
+        return (x_next, u_warm, u0), (x_next, u0, costs)
 
     def rollout(x_init, n_steps: int):
         B = x_init.shape[0]
-        u_warm0 = jnp.zeros((T, B, nc), jnp.asarray(x_init).dtype)
-        (_, _), (xs, us, costs) = lax.scan(
-            body, (x_init, u_warm0), None, length=n_steps)
+        dtype = jnp.asarray(x_init).dtype
+        u_warm0 = jnp.zeros((T, B, nc), dtype)
+        prev0 = jnp.zeros((B, nc), dtype)
+        _, (xs, us, costs) = lax.scan(
+            body, (x_init, u_warm0, prev0), None, length=n_steps)
         return {'xs': jnp.concatenate([x_init[None], xs], axis=0),
                 'us': us, 'costs': costs}
 

@@ -74,3 +74,33 @@ def test_closed_loop_model_mismatch():
     x1 = dx(x0, out['us'][0])
     npt.assert_allclose(np.asarray(out['xs'][1]), np.asarray(x1),
                         atol=1e-6)
+
+
+def test_closed_loop_slew_threads_prev_ctrl():
+    """With a slew-rate penalty the next solve must see the last
+    APPLIED control as prev_ctrl; must match a host loop doing the
+    same threading."""
+    import dataclasses
+
+    dx, x0, cost, cfg = _setup()
+    cfg = dataclasses.replace(cfg, slew_rate_penalty=0.5)
+    n_steps = 4
+    roll = make_closed_loop(cfg, cost, dx, u_lower=-2.0, u_upper=2.0)
+    out = roll(x0, n_steps)
+
+    x = x0
+    u_warm = jnp.zeros((cfg.T, x0.shape[0], 1), x0.dtype)
+    prev = jnp.zeros((x0.shape[0], 1), x0.dtype)
+    us = []
+    for _ in range(n_steps):
+        sol = batched_solve(cfg, x, cost, dx, u_init=u_warm,
+                            u_lower=-2.0, u_upper=2.0, prev_ctrl=prev)
+        u0 = sol.u[0]
+        x = dx(x, u0)
+        prev = u0
+        u_warm = jnp.concatenate([sol.u[1:], jnp.zeros_like(sol.u[:1])],
+                                 axis=0)
+        us.append(u0)
+
+    npt.assert_allclose(np.asarray(out['us']),
+                        np.asarray(jnp.stack(us)), atol=1e-5)
