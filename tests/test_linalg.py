@@ -8,6 +8,7 @@ reference's ``util`` module behavior exactly.
 import numpy as np
 import numpy.testing as npt
 
+import jax
 import jax.numpy as jnp
 
 from mpc_tpu.ops import linalg
@@ -60,3 +61,50 @@ def test_masked_free_matrix_block_decouples():
     assert abs(x[1]) < 1e-12 and abs(x[4]) < 1e-12
     sub = np.ix_(free, free)
     npt.assert_allclose(H[sub] @ x[free], b[free], atol=1e-9)
+
+
+def test_solve_spd_matches_lu_vector_and_matrix_rhs():
+    # solve_spd (unrolled Cholesky, the TPU-fast path for the PNQP
+    # Newton and masked Riccati gain solves) must agree with the
+    # general LU solve on SPD systems, for both RHS shapes.
+    rng = np.random.RandomState(7)
+    for n in [2, 4, 7, 16]:
+        A = rng.randn(n, n)
+        H = jnp.asarray(A @ A.T + n * np.eye(n))
+        b = jnp.asarray(rng.randn(n))
+        Bm = jnp.asarray(rng.randn(n, 3))
+        npt.assert_allclose(np.asarray(linalg.solve_spd(H, b)),
+                            np.asarray(linalg.solve_sym(H, b)),
+                            rtol=1e-9, atol=1e-10)
+        npt.assert_allclose(np.asarray(linalg.solve_spd(H, Bm)),
+                            np.asarray(linalg.solve_sym(H, Bm)),
+                            rtol=1e-9, atol=1e-10)
+
+
+def test_solve_spd_large_n_cho_solve_path():
+    # n > _UNROLL_CHOL_N falls back to batched cholesky+cho_solve
+    rng = np.random.RandomState(8)
+    n = linalg._UNROLL_CHOL_N + 8
+    A = rng.randn(n, n)
+    H = jnp.asarray(A @ A.T + n * np.eye(n))
+    b = jnp.asarray(rng.randn(n))
+    npt.assert_allclose(np.asarray(linalg.solve_spd(H, b)),
+                        np.asarray(linalg.solve_sym(H, b)),
+                        rtol=1e-8, atol=1e-9)
+
+
+def test_solve_spd_vmaps_with_masked_free_matrix():
+    # the PNQP composition: masked SPD system under vmap, clamped rows
+    # come out exactly zero
+    rng = np.random.RandomState(9)
+    B, n = 64, 4
+    A = rng.randn(B, n, n)
+    H = jnp.asarray(A @ np.transpose(A, (0, 2, 1)) + np.eye(n))
+    free = jnp.asarray(rng.rand(B, n) > 0.3)
+    b = jnp.asarray(rng.randn(B, n)) * free
+    Hm = jax.vmap(linalg.masked_free_matrix)(H, free)
+    x = jax.vmap(linalg.solve_spd)(Hm, b)
+    assert np.all(np.abs(np.asarray(x)[~np.asarray(free)]) < 1e-12)
+    ref = jax.vmap(linalg.solve_sym)(Hm, b)
+    npt.assert_allclose(np.asarray(x), np.asarray(ref),
+                        rtol=1e-8, atol=1e-9)
