@@ -44,7 +44,8 @@ def _pendulum_inputs(B, T, dtype):
     return dx, x0, C, c, lb, ub
 
 
-def bench_pendulum(B=4096, T=20, iters=120, warmup=2, profile_dir=None):
+def bench_pendulum(B=4096, T=20, iters=120, warmup=2, profile_dir=None,
+                   device_loop=False):
     import jax
     import jax.numpy as jnp
     from mpc_tpu import MPCConfig, QuadCost, GradMethods
@@ -64,8 +65,9 @@ def bench_pendulum(B=4096, T=20, iters=120, warmup=2, profile_dir=None):
         exit_unconverged=False, detach_unconverged=False, backprop=False,
         linesearch_decay=0.2, max_linesearch_iter=5)
 
-    fn = jax.jit(lambda x0: batched_solve(
-        cfg, x0, QuadCost(C, c), dx, u_lower=-2.0, u_upper=2.0).u)
+    solve = lambda x0: batched_solve(
+        cfg, x0, QuadCost(C, c), dx, u_lower=-2.0, u_upper=2.0).u
+    fn = jax.jit(solve)
 
     # distinct inputs per iteration: the remote-execution layer dedupes
     # repeated identical executions, which would fake the timing
@@ -75,6 +77,28 @@ def bench_pendulum(B=4096, T=20, iters=120, warmup=2, profile_dir=None):
         th = np.pi * (2 * rng.rand(B) - 1)
         x0s.append(jnp.asarray(
             np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1), dtype))
+
+    if device_loop:
+        # device-resident serving loop: ONE dispatch runs all iters as a
+        # lax.map over stacked distinct inputs, so per-call dispatch
+        # overhead (the tunneled runtime's weak spot - see the roofline
+        # occupancy analysis in BASELINE.md) is paid once instead of
+        # per batch.  Same solves, same distinct inputs.
+        loop = jax.jit(lambda xs: jax.lax.map(solve, xs))
+        xs_w = jnp.stack(x0s[:warmup])
+        xs = jnp.stack(x0s[warmup:])
+        jax.block_until_ready(loop(xs_w))
+        if profile_dir:
+            prof = jax.profiler.trace(profile_dir,
+                                      create_perfetto_trace=True)
+        else:
+            import contextlib
+            prof = contextlib.nullcontext()
+        with prof:
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(xs))
+            dt = (time.perf_counter() - t0) / iters
+        return B / dt, dt
 
     for k in range(warmup):
         jax.block_until_ready(fn(x0s[k]))
@@ -180,10 +204,15 @@ def main():
     ap.add_argument('--profile', metavar='DIR', default=None,
                     help='capture a jax.profiler trace of the timed '
                          'section into DIR')
+    ap.add_argument('--device-loop', action='store_true',
+                    help='run the timed iters as ONE device-resident '
+                         'lax.map dispatch instead of per-call '
+                         'async-pipelined dispatches')
     args = ap.parse_args()
 
     solves_per_sec, dt = bench_pendulum(B=args.batch, iters=args.iters,
-                                        profile_dir=args.profile)
+                                        profile_dir=args.profile,
+                                        device_loop=args.device_loop)
     base = _baseline_value(args.remeasure_baseline)
     vs = (solves_per_sec / base) if base else None
 
