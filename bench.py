@@ -83,9 +83,15 @@ def bench_pendulum(B=4096, T=20, iters=120, warmup=2, profile_dir=None,
         # lax.map over stacked distinct inputs, so per-call dispatch
         # overhead (the tunneled runtime's weak spot - see the roofline
         # occupancy analysis in BASELINE.md) is paid once instead of
-        # per batch.  Same solves, same distinct inputs.
+        # per batch.  Same solves, same distinct inputs.  The warmup
+        # chunk must have the SAME leading length (a different length
+        # is a different shape -> the timed call would recompile) and
+        # DISTINCT data (the remote layer dedupes identical executions).
         loop = jax.jit(lambda xs: jax.lax.map(solve, xs))
-        xs_w = jnp.stack(x0s[:warmup])
+        rng_w = np.random.RandomState(1)
+        th_w = np.pi * (2 * rng_w.rand(iters, B) - 1)
+        xs_w = jnp.asarray(np.stack(
+            [np.cos(th_w), np.sin(th_w), np.zeros((iters, B))], 2), dtype)
         xs = jnp.stack(x0s[warmup:])
         jax.block_until_ready(loop(xs_w))
         if profile_dir:

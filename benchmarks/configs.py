@@ -76,42 +76,54 @@ def bench_tvlqr(B=128, n_state=3, n_ctrl=4, T=5):
             'unit': f'solves/s (B={B}, T={T}, {n_state}s/{n_ctrl}c, f32)'}
 
 
-def bench_medium_state(B=2048, n_state=16, n_ctrl=4, T=20):
-    """Medium-state box-constrained MPC (ntau > 16: the regime the fused
-    kernel intentionally leaves to the XLA path, ops/fused.py
-    _BODY_VOLUME_LIMIT).  Pins the jnp fallback's throughput: the PNQP
-    Newton systems and masked Riccati gain solves go through
-    linalg.solve_spd's unrolled Cholesky (batched pivoted LU is ~10-17x
-    slower on TPU for these tiny systems)."""
+def bench_medium_state(B=2048, T=20):
+    """Medium/large state dims, box-constrained.  Two regimes:
+
+    - 16s/4c (ntau=20): inside the fori-loop kernel's
+      hardware-calibrated body budget (ops/fused.py
+      _BODY_VOLUME_LIMIT) - the fused path, ~10x the jnp path.
+    - 24s/4c (ntau=28): beyond the kernel's Mosaic VMEM stack - the
+      XLA fallback, whose PNQP Newton systems and masked Riccati gain
+      solves go through linalg.solve_spd's unrolled Cholesky (batched
+      pivoted LU is ~10-17x slower on TPU for these tiny systems).
+    """
     import jax
     import jax.numpy as jnp
     from mpc_tpu import MPCConfig, QuadCost, LinDx, GradMethods
     from mpc_tpu.learning import batched_solve
+    from mpc_tpu.ops import fused
 
-    n_sc = n_state + n_ctrl
+    rows = []
     rng = np.random.RandomState(3)
-    A = np.eye(n_state) + 0.01 * rng.randn(n_state, n_state)
-    A /= max(1.0, np.max(np.abs(np.linalg.eigvals(A))))
-    Bm = 0.1 * rng.randn(n_state, n_ctrl)
-    F = jnp.asarray(np.tile(np.concatenate([A, Bm], 1)[None],
-                            (T - 1, 1, 1)), jnp.float32)
-    C = jnp.asarray(np.diag(np.concatenate(
-        [np.ones(n_state), 0.1 * np.ones(n_ctrl)])), jnp.float32)
-    c = jnp.zeros(n_sc, jnp.float32)
-    x0 = rng.randn(B, n_state).astype(np.float32)
+    for n_state, n_ctrl, path in [(16, 4, 'fused'), (24, 4, 'jnp')]:
+        n_sc = n_state + n_ctrl
+        A = np.eye(n_state) + 0.01 * rng.randn(n_state, n_state)
+        A /= max(1.0, np.max(np.abs(np.linalg.eigvals(A))))
+        Bm = 0.1 * rng.randn(n_state, n_ctrl)
+        F = jnp.asarray(np.tile(np.concatenate([A, Bm], 1)[None],
+                                (T - 1, 1, 1)), jnp.float32)
+        C = jnp.asarray(np.diag(np.concatenate(
+            [np.ones(n_state), 0.1 * np.ones(n_ctrl)])), jnp.float32)
+        c = jnp.zeros(n_sc, jnp.float32)
+        x0 = rng.randn(B, n_state).astype(np.float32)
 
-    cfg = MPCConfig(n_state=n_state, n_ctrl=n_ctrl, T=T, lqr_iter=10,
-                    grad_method=GradMethods.ANALYTIC, eps=0.0,
-                    exit_unconverged=False, detach_unconverged=False,
-                    backprop=False)
-    fn = jax.jit(lambda x0: batched_solve(
-        cfg, x0, QuadCost(C, c), LinDx(F, None),
-        u_lower=-1.0, u_upper=1.0).u)
-    dt = _time(fn, _perturb(rng, (x0,), index=0, n=18))
-    return {'metric': 'medium_state_box_solves_per_sec',
-            'value': round(B / dt, 1),
-            'unit': f'solves/s (B={B}, T={T}, {n_state}s/{n_ctrl}c, '
-                    'box, jnp path, f32)'}
+        cfg = MPCConfig(n_state=n_state, n_ctrl=n_ctrl, T=T, lqr_iter=10,
+                        grad_method=GradMethods.ANALYTIC, eps=0.0,
+                        exit_unconverged=False, detach_unconverged=False,
+                        backprop=False)
+        on_fused = fused.supports(cfg, QuadCost(C, c), LinDx(F, None),
+                                  u_lower=jnp.float32(-1.0))
+        assert on_fused == (path == 'fused'), (n_state, on_fused)
+        fn = jax.jit(lambda x0, cfg=cfg, C=C, c=c, F=F: batched_solve(
+            cfg, x0, QuadCost(C, c), LinDx(F, None),
+            u_lower=-1.0, u_upper=1.0).u)
+        dt = _time(fn, _perturb(rng, (x0,), index=0, n=18))
+        rows.append({'metric': 'medium_state_box_solves_per_sec',
+                     'value': round(B / dt, 1),
+                     'unit': f'solves/s (B={B}, T={T}, '
+                             f'{n_state}s/{n_ctrl}c, box, {path} path, '
+                             'f32)'})
+    return rows
 
 
 def bench_cartpole(B=512, T=25):
@@ -561,6 +573,8 @@ def run_all_secondary():
                bench_long_horizon, bench_nn_dynamics,
                bench_flops_accounting]:
         print(json.dumps(fn()))
+    for row in bench_medium_state():
+        print(json.dumps(row))
     for row in bench_latency():
         print(json.dumps(row))
     for row in bench_closed_loop():

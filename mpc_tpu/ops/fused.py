@@ -99,11 +99,14 @@ _MAX_STREAM_PARAMS = 16384
 # lqr_iter=3): ntau=4 compiles in ~28s, ntau=7 ~80s, ntau=13 exceeds
 # 7 minutes on the short kernel.  Problems whose T * ntau^3 exceeds
 # _UNROLL_VOLUME_LIMIT route through the fori-loop kernel; above
-# _BODY_VOLUME_LIMIT (ntau > 16) even the once-traced body is too
+# _BODY_VOLUME_LIMIT (ntau > 21) even the once-traced body is too
 # large and dispatch falls back to the XLA path, whose batched linalg
-# handles medium-size matrices without per-scalar unrolling.
+# handles medium-size matrices without per-scalar unrolling.  The body
+# limit is hardware-calibrated: ntau=20 (16s/4c, T=20) compiles in ~18s
+# and runs 10.7x the jnp path; ntau=24 exceeds Mosaic's 16MB VMEM stack
+# (the _long_vmem_bytes body-register term tracks that boundary).
 _UNROLL_VOLUME_LIMIT = 8_000    # T * ntau^3 budget, unrolled kernel
-_BODY_VOLUME_LIMIT = 4_096      # ntau^3 budget, fori-loop kernel body
+_BODY_VOLUME_LIMIT = 9_261     # ntau^3 budget, fori-loop kernel body (ntau<=21)
 
 
 def _dyn_streams(dynamics, n_dyn_p):
@@ -1662,9 +1665,17 @@ def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
                      uz_smem, has_uz, has_bounds, has_f, lindx):
     """Conservative VMEM estimate (bytes) for the long-horizon kernel:
     per-t lane tiles for u0+outputs+scratch plus any batched (VMEM)
-    operands.  u0 is input/output-aliased with uout, so counted once.
-    Batched cost is NOT T-scaled: it stays in HBM and is DMA-streamed
-    through a constant-size scratch slice (see ``cost_stream``)."""
+    operands, plus the Riccati body's LIVE REGISTERS (V, Qt, the
+    factor, work vectors) which Mosaic allocates on the same 16MB
+    scoped-VMEM stack.  u0 is input/output-aliased with uout, so
+    counted once.  Batched cost is NOT T-scaled: it stays in HBM and
+    is DMA-streamed through a constant-size scratch slice (see
+    ``cost_stream``).
+
+    The body-register term is calibrated against the observed Mosaic
+    stack boundary: ntau=20 (16s/4c, T=20, shared LinDx box) lowers
+    and runs; ntau=24 (20s/4c) overflows the 16MB stack by ~4KB.
+    """
     ntau = ns + nc
     tiles = 2 * ns + 2 * nc + nc * ns + nc   # xout,x + uout(=u0),u + K,k
     const_tiles = 0
@@ -1676,6 +1687,9 @@ def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
         tiles += 2 * nc
     if has_uz and not uz_smem:
         tiles += nc
+    # live body registers: cost-to-go V (ns^2), assembled Qt (ntau^2),
+    # the control-block factor + PNQP state (~2 nc^2), work vectors
+    const_tiles += ns * ns + ntau * ntau + 2 * nc * nc + 4 * ntau
     return (T * tiles + const_tiles) * SUB * LANE * 4
 
 

@@ -138,9 +138,10 @@ def _lindx_problem(ns, nc, T, B, dtype=jnp.float32):
 
 
 def test_supports_rejects_huge_state_dim():
-    """ntau > 16 exceeds even the fori-loop kernel's per-t trace
-    budget (ops/fused.py:_BODY_VOLUME_LIMIT): dispatch must fall back
-    to the XLA path instead of hanging Mosaic for minutes."""
+    """ntau > 21 exceeds the fori-loop kernel's hardware-calibrated
+    body budget (ops/fused.py:_BODY_VOLUME_LIMIT; ntau=24 overflows
+    Mosaic's 16MB VMEM stack): dispatch must fall back to the XLA
+    path instead of crashing the lowering."""
     from mpc_tpu.ops import fused
 
     dyn, cost, _ = _lindx_problem(20, 2, 10, 8)

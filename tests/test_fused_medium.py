@@ -1,0 +1,104 @@
+"""Medium-state (ntau > 16) problems through the fori-loop kernel.
+
+Round-3 change: the body-volume gate admits ntau <= 21 (was 16) after
+hardware calibration - ntau=20 (16s/4c) compiles in ~18s on a v5e and
+runs 10.7x the jnp path, while ntau=24 overflows Mosaic's 16MB scoped
+VMEM stack.  These tests pin (a) interpret-mode equivalence of the
+kernel at a medium ntau, (b) the dispatch gates at the calibrated
+boundary so an estimator regression can't re-introduce the lowering
+OOM.  Hardware parity at G=3 (B=2050) is covered by benchmarks/
+hw_sweep.py.
+
+Reference scope anchor: the reference solver is dimension-generic
+(mpc/mpc.py:70-105 takes any n_state/n_ctrl); the fused kernel covers
+ntau <= 21 and the XLA path (with linalg.solve_spd) covers the rest.
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu import GradMethods, MPCConfig, QuadCost
+from mpc_tpu.types import LinDx
+from mpc_tpu.learning import batched_solve
+from mpc_tpu.ops.fused import (fused_batched_solve, supports,
+                               _long_vmem_bytes, _LONG_T_VMEM_LIMIT)
+
+
+def _medium_problem(ns, nc, T, B, seed=0):
+    rng = np.random.RandomState(seed)
+    ntau = ns + nc
+    A = np.eye(ns) + 0.01 * rng.randn(ns, ns)
+    A /= max(1.0, np.max(np.abs(np.linalg.eigvals(A))))
+    Bm = 0.1 * rng.randn(ns, nc)
+    F = jnp.asarray(np.tile(np.concatenate([A, Bm], 1)[None],
+                            (T - 1, 1, 1)), jnp.float32)
+    C = jnp.asarray(np.diag(np.concatenate(
+        [np.ones(ns), 0.1 * np.ones(nc)])), jnp.float32)
+    c = jnp.zeros(ntau, jnp.float32)
+    x0 = jnp.asarray(rng.randn(B, ns), jnp.float32)
+    return LinDx(F, None), QuadCost(C, c), x0
+
+
+def _cfg(ns, nc, T, **kw):
+    base = dict(n_state=ns, n_ctrl=nc, T=T, lqr_iter=3,
+                grad_method=GradMethods.ANALYTIC, eps=0.0,
+                exit_unconverged=False, detach_unconverged=False,
+                backprop=False, linesearch_decay=0.2,
+                max_linesearch_iter=2, use_fused='never')
+    base.update(kw)
+    return MPCConfig(**base)
+
+
+def test_fused_medium_ntau18_box_matches_jnp():
+    ns, nc, T, B = 14, 4, 6, 16
+    dyn, cost, x0 = _medium_problem(ns, nc, T, B)
+    cfg = _cfg(ns, nc, T)
+    assert supports(cfg, cost, dyn, u_lower=jnp.float32(-1.0))
+    ref = batched_solve(cfg, x0, cost, dyn, u_lower=-1.0, u_upper=1.0)
+    fus = fused_batched_solve(cfg, x0, cost, dyn,
+                              u_lower=jnp.float32(-1.0),
+                              u_upper=jnp.float32(1.0), interpret=True)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ref.costs),
+                               np.asarray(fus.costs), rtol=1e-5)
+
+
+def test_fused_medium_ntau18_unconstrained_matches_jnp():
+    ns, nc, T, B = 14, 4, 6, 16
+    dyn, cost, x0 = _medium_problem(ns, nc, T, B, seed=1)
+    cfg = _cfg(ns, nc, T)
+    assert supports(cfg, cost, dyn)
+    ref = batched_solve(cfg, x0, cost, dyn)
+    fus = fused_batched_solve(cfg, x0, cost, dyn, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fus.u),
+                               atol=3e-5)
+
+
+def test_medium_dispatch_gates():
+    # the hardware-calibrated boundary: 16s/4c T=20 admitted (measured
+    # 18s compile, 10.7x jnp); 20s/4c T=20 rejected (Mosaic VMEM OOM,
+    # observed overflow ~4KB over the 16MB stack); longer T at medium
+    # ntau rejected by the same budget (scratch is T-scaled)
+    for ns, nc, T, expect in [(16, 4, 20, True), (20, 4, 20, False),
+                              (16, 5, 20, False), (16, 4, 64, False)]:
+        dyn, cost, x0 = _medium_problem(ns, nc, T, 8)
+        cfg = _cfg(ns, nc, T)
+        got = supports(cfg, cost, dyn, u_lower=jnp.float32(-1.0))
+        assert got == expect, (ns, nc, T, got)
+
+
+def test_vmem_estimate_tracks_oom_boundary():
+    # the estimator must reject the shape that actually overflowed
+    # Mosaic's stack and admit the shape that lowered + ran
+    ok = _long_vmem_bytes(20, 16, 4, cost_smem=True, dyn_smem=True,
+                          bounds_smem=True, uz_smem=True, has_uz=False,
+                          has_bounds=True, has_f=False, lindx=True)
+    oom = _long_vmem_bytes(20, 20, 4, cost_smem=True, dyn_smem=True,
+                           bounds_smem=True, uz_smem=True, has_uz=False,
+                           has_bounds=True, has_f=False, lindx=True)
+    assert ok <= _LONG_T_VMEM_LIMIT < oom
