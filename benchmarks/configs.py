@@ -77,12 +77,17 @@ def bench_tvlqr(B=128, n_state=3, n_ctrl=4, T=5):
 
 
 def bench_medium_state(B=2048, T=20):
-    """Medium/large state dims, box-constrained.  Two regimes:
+    """Medium/large state dims, box-constrained.  Three regimes:
 
-    - 16s/4c (ntau=20): inside the fori-loop kernel's
-      hardware-calibrated body budget (ops/fused.py
-      _BODY_VOLUME_LIMIT) - the fused path, ~10x the jnp path.
-    - 24s/4c (ntau=28): beyond the kernel's Mosaic VMEM stack - the
+    - 16s/4c (ntau=20) at B=2048 (multi-tile grid): inside the
+      fori-loop kernel's hardware-calibrated body/VMEM budgets
+      (ops/fused.py _BODY_VOLUME_LIMIT/_LONG_T_VMEM_LIMIT_MULTI) -
+      the fused path, ~10x the jnp path.
+    - 19s/4c (ntau=23, the single-tile ceiling) at B=1024: fused at
+      G=1; at G>1 Mosaic double-buffers the blocked operands and this
+      shape OOMs the 16MB VMEM stack (observed 17.54M), so B>1024
+      correctly routes to the XLA path.
+    - 24s/4c (ntau=28): beyond the kernel's budgets at any batch - the
       XLA fallback, whose PNQP Newton systems and masked Riccati gain
       solves go through linalg.solve_spd's unrolled Cholesky (batched
       pivoted LU is ~10-17x slower on TPU for these tiny systems).
@@ -95,7 +100,9 @@ def bench_medium_state(B=2048, T=20):
 
     rows = []
     rng = np.random.RandomState(3)
-    for n_state, n_ctrl, path in [(16, 4, 'fused'), (24, 4, 'jnp')]:
+    for n_state, n_ctrl, Bi, path in [(16, 4, B, 'fused'),
+                                      (19, 4, min(B, 1024), 'fused'),
+                                      (24, 4, B, 'jnp')]:
         n_sc = n_state + n_ctrl
         A = np.eye(n_state) + 0.01 * rng.randn(n_state, n_state)
         A /= max(1.0, np.max(np.abs(np.linalg.eigvals(A))))
@@ -105,22 +112,22 @@ def bench_medium_state(B=2048, T=20):
         C = jnp.asarray(np.diag(np.concatenate(
             [np.ones(n_state), 0.1 * np.ones(n_ctrl)])), jnp.float32)
         c = jnp.zeros(n_sc, jnp.float32)
-        x0 = rng.randn(B, n_state).astype(np.float32)
+        x0 = rng.randn(Bi, n_state).astype(np.float32)
 
         cfg = MPCConfig(n_state=n_state, n_ctrl=n_ctrl, T=T, lqr_iter=10,
                         grad_method=GradMethods.ANALYTIC, eps=0.0,
                         exit_unconverged=False, detach_unconverged=False,
                         backprop=False)
         on_fused = fused.supports(cfg, QuadCost(C, c), LinDx(F, None),
-                                  u_lower=jnp.float32(-1.0))
+                                  u_lower=jnp.float32(-1.0), n_batch=Bi)
         assert on_fused == (path == 'fused'), (n_state, on_fused)
         fn = jax.jit(lambda x0, cfg=cfg, C=C, c=c, F=F: batched_solve(
             cfg, x0, QuadCost(C, c), LinDx(F, None),
             u_lower=-1.0, u_upper=1.0).u)
         dt = _time(fn, _perturb(rng, (x0,), index=0, n=18))
         rows.append({'metric': 'medium_state_box_solves_per_sec',
-                     'value': round(B / dt, 1),
-                     'unit': f'solves/s (B={B}, T={T}, '
+                     'value': round(Bi / dt, 1),
+                     'unit': f'solves/s (B={Bi}, T={T}, '
                              f'{n_state}s/{n_ctrl}c, box, {path} path, '
                              'f32)'})
     return rows

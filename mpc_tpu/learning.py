@@ -148,7 +148,8 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
         cfg1 = dataclasses.replace(cfg, backprop=False)
         in_scope = fused.supports(cfg1, cost, dynamics,
                                   u_zero_I=u_zero_I, prev_ctrl=prev_ctrl,
-                                  u_lower=u_lower, dtype=dtype)
+                                  u_lower=u_lower, dtype=dtype,
+                                  n_batch=jnp.shape(x_init)[0])
         use = in_scope and (on_tpu or cfg.use_fused == 'always')
         if cfg.use_fused == 'always' and not in_scope:
             raise ValueError('use_fused="always" but the problem is '

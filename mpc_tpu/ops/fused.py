@@ -99,14 +99,18 @@ _MAX_STREAM_PARAMS = 16384
 # lqr_iter=3): ntau=4 compiles in ~28s, ntau=7 ~80s, ntau=13 exceeds
 # 7 minutes on the short kernel.  Problems whose T * ntau^3 exceeds
 # _UNROLL_VOLUME_LIMIT route through the fori-loop kernel; above
-# _BODY_VOLUME_LIMIT (ntau > 21) even the once-traced body is too
+# _BODY_VOLUME_LIMIT (ntau > 23) even the once-traced body is too
 # large and dispatch falls back to the XLA path, whose batched linalg
 # handles medium-size matrices without per-scalar unrolling.  The body
 # limit is hardware-calibrated: ntau=20 (16s/4c, T=20) compiles in ~18s
-# and runs 10.7x the jnp path; ntau=24 exceeds Mosaic's 16MB VMEM stack
-# (the _long_vmem_bytes body-register term tracks that boundary).
+# and runs 10.7x the jnp path; ntau=22 (18s/4c) in ~71s at 213k
+# solves/s (B=1024) and ntau=23 (19s/4c) in ~92s at 200k solves/s,
+# both exactly matching the jnp path; ntau=24 exceeds Mosaic's 16MB
+# VMEM stack (the _long_vmem_bytes body-register term tracks that
+# boundary - the VMEM gate, not this one, is what rejects ntau=24
+# at T=20).
 _UNROLL_VOLUME_LIMIT = 8_000    # T * ntau^3 budget, unrolled kernel
-_BODY_VOLUME_LIMIT = 9_261     # ntau^3 budget, fori-loop kernel body (ntau<=21)
+_BODY_VOLUME_LIMIT = 12_167    # ntau^3 budget, fori-loop kernel body (ntau<=23)
 
 
 def _dyn_streams(dynamics, n_dyn_p):
@@ -147,8 +151,15 @@ def _is_soa_cost(cost):
 
 
 def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
-             u_lower=None, dtype=jnp.float32) -> bool:
-    """Static dispatch check for the fused path."""
+             u_lower=None, dtype=jnp.float32, n_batch=None) -> bool:
+    """Static dispatch check for the fused path.
+
+    ``n_batch`` (the scenario batch size, when the caller knows it)
+    tightens the fori-loop kernel's VMEM gate: batches over one
+    (8, 128) tile run a multi-program grid whose blocked operands
+    Mosaic double-buffers, shrinking the admissible working set (see
+    ``_long_vmem_bytes``).  ``None`` assumes the multi-tile regime.
+    """
     n_dyn_p = 0
     if isinstance(dynamics, LinDx):
         dyn_ok = getattr(dynamics.F, 'ndim', 0) in (3, 4) and (
@@ -179,9 +190,17 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
     ntau = ns_eff + cfg.n_ctrl
     if ntau ** 3 > _BODY_VOLUME_LIMIT:
         return False
+    multi = n_batch is None or n_batch > SUB * LANE
     long_kernel = (cfg.T > 128
                    or n_dyn_p + n_cost_p > _UNROLL_PARAM_LIMIT
-                   or cfg.T * ntau ** 3 > _UNROLL_VOLUME_LIMIT)
+                   or cfg.T * ntau ** 3 > _UNROLL_VOLUME_LIMIT
+                   # batched per-t operands past the unrolled kernel's
+                   # blocked-VMEM budget stream through the fori-loop
+                   # kernel instead (see _short_blocked_vmem_bytes)
+                   or not _short_fits(
+                       cfg.T, ns_eff, cfg.n_ctrl, multi,
+                       **_layout_flags(cfg, cost, dynamics, u_lower,
+                                       u_zero_I)))
     return (
         # slew runs through the host-side state augmentation (see
         # fused_batched_solve); non-quadratic costs are out of scope
@@ -211,18 +230,57 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
         # the fori-loop kernel (_make_kernel_long) is bounded by the
         # VMEM budget; beyond that the jnp path handles it
         and (not long_kernel or _long_fits(cfg, cost, dynamics, u_lower,
-                                           u_zero_I))
+                                           u_zero_I, n_batch=n_batch))
     )
 
 
-def _long_fits(cfg, cost, dynamics, u_lower, u_zero_I) -> bool:
-    """Whether the long-horizon kernel's VMEM working set fits."""
+def _short_blocked_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem,
+                              bounds_smem, uz_smem, has_uz, has_bounds,
+                              has_f, lindx, multi_tile=True):
+    """Scoped-VMEM footprint (bytes) of the UNROLLED kernel's blocked
+    operands.  Unlike the fori-loop kernel, the short kernel takes
+    batched per-t operands (C, c, F, f, bounds, u_zero_I) as
+    grid-blocked VMEM inputs, whose per-program block buffers land on
+    the same Mosaic 16MB scoped stack as the outputs - and are
+    double-buffered when the grid has more than one program.  Observed
+    cliff: batched (C, c, F, f) at T=125 ns=3/nc=1 (inside the
+    unroll-volume budget) lowers to a 39.01M scoped allocation at
+    B=2048 and fails.  Problems past this budget route to the
+    fori-loop kernel, which streams batched operands from HBM through
+    constant-size buffers instead.
+    """
+    ntau = ns + nc
+    blocked = ns + T * nc + T * ns + T * nc + 5   # x0, u0, xs, us, stats
+    if not cost_smem:
+        blocked += T * (ntau * ntau + ntau)
+    if lindx and not dyn_smem:
+        blocked += (T - 1) * ns * ntau + ((T - 1) * ns if has_f else 0)
+    if has_bounds and not bounds_smem:
+        blocked += 2 * T * nc
+    if has_uz and not uz_smem:
+        blocked += T * nc
+    if multi_tile:
+        blocked *= 2
+    # live registers of the unrolled Riccati body (same working set as
+    # the fori-loop body)
+    const = ns * ns + ntau * ntau + 2 * nc * nc + 4 * ntau
+    return (blocked + const) * SUB * LANE * 4
+
+
+def _short_fits(T, ns, nc, multi_tile, **layout) -> bool:
+    """Whether the unrolled kernel's blocked operands fit the scoped
+    stack; past this the problem routes to the streaming fori-loop
+    kernel (same limits as ``_long_fits``)."""
+    return _short_blocked_vmem_bytes(
+        T, ns, nc, multi_tile=multi_tile, **layout) <= (
+            _LONG_T_VMEM_LIMIT_MULTI if multi_tile else _LONG_T_VMEM_LIMIT)
+
+
+def _layout_flags(cfg, cost, dynamics, u_lower, u_zero_I):
+    """SMEM-vs-batched layout booleans shared by the dispatch gates
+    (mirrors fused_batched_solve's operand preparation)."""
     lindx = isinstance(dynamics, LinDx)
-    ns, nc = cfg.n_state, cfg.n_ctrl
-    if cfg.slew_rate_penalty is not None:
-        ns += nc           # host-side augmentation enlarges the state
-    return _long_vmem_bytes(
-        cfg.T, ns, nc,
+    return dict(
         cost_smem=(not isinstance(cost, QuadCost)
                    or getattr(cost.C, 'ndim', 0) < 4),
         dyn_smem=lindx and getattr(dynamics.F, 'ndim', 0) == 3,
@@ -231,7 +289,26 @@ def _long_fits(cfg, cost, dynamics, u_lower, u_zero_I) -> bool:
         has_uz=u_zero_I is not None,
         has_bounds=u_lower is not None,
         has_f=lindx and dynamics.f is not None,
-        lindx=lindx) <= _LONG_T_VMEM_LIMIT
+        lindx=lindx)
+
+
+def _long_fits(cfg, cost, dynamics, u_lower, u_zero_I,
+               n_batch=None) -> bool:
+    """Whether the long-horizon kernel's VMEM working set fits.
+
+    ``n_batch`` picks the grid regime: one (8, 128) tile (G=1) or
+    multiple grid programs, whose blocked operands Mosaic
+    double-buffers (see ``_long_vmem_bytes``).  ``None`` (batch size
+    unknown to the caller) conservatively assumes multi-tile.
+    """
+    ns, nc = cfg.n_state, cfg.n_ctrl
+    if cfg.slew_rate_penalty is not None:
+        ns += nc           # host-side augmentation enlarges the state
+    multi = n_batch is None or n_batch > SUB * LANE
+    return _long_vmem_bytes(
+        cfg.T, ns, nc, multi_tile=multi,
+        **_layout_flags(cfg, cost, dynamics, u_lower, u_zero_I)) <= (
+            _LONG_T_VMEM_LIMIT_MULTI if multi else _LONG_T_VMEM_LIMIT)
 
 
 # ---------------------------------------------------------------------------
@@ -1662,7 +1739,8 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
 
 
 def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
-                     uz_smem, has_uz, has_bounds, has_f, lindx):
+                     uz_smem, has_uz, has_bounds, has_f, lindx,
+                     multi_tile=True):
     """Conservative VMEM estimate (bytes) for the long-horizon kernel:
     per-t lane tiles for u0+outputs+scratch plus any batched (VMEM)
     operands, plus the Riccati body's LIVE REGISTERS (V, Qt, the
@@ -1672,12 +1750,27 @@ def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
     is DMA-streamed through a constant-size scratch slice (see
     ``cost_stream``).
 
+    ``multi_tile``: when the batch needs more than one (8, 128) grid
+    program, Mosaic DOUBLE-BUFFERS the grid-blocked operands (xout,
+    uout/u0) to overlap program g's compute with g+1's block DMA, so
+    the T-scaled blocked tensors cost a second slot.  This is a
+    hardware-observed cliff, not a refinement: pendulum T=256 runs at
+    B=1024 (G=1) but OOMs Mosaic's 16MB scoped-VMEM stack at B=2048
+    (G=2, observed 18.06M); 19s/4c T=20 runs at B=1024 but OOMs at
+    B=2048 (observed 17.54M).  Callers that don't know the batch size
+    must assume multi_tile.
+
     The body-register term is calibrated against the observed Mosaic
-    stack boundary: ntau=20 (16s/4c, T=20, shared LinDx box) lowers
-    and runs; ntau=24 (20s/4c) overflows the 16MB stack by ~4KB.
+    stack boundary: ntau=20/22/23 (16s/4c, 18s/4c, 19s/4c at T=20,
+    shared LinDx box) lower and run at G=1; ntau=24 (20s/4c, estimate
+    14.62MB) overflows the 16MB stack by ~4KB.  _LONG_T_VMEM_LIMIT /
+    _LONG_T_VMEM_LIMIT_MULTI sit between the validated-admitted and
+    observed-OOM estimates of their regime.
     """
     ntau = ns + nc
     tiles = 2 * ns + 2 * nc + nc * ns + nc   # xout,x + uout(=u0),u + K,k
+    if multi_tile:
+        tiles += ns + nc                     # second slots: xout, uout
     const_tiles = 0
     if not cost_smem:
         const_tiles += ntau * ntau + ntau    # streamed per-t slice
@@ -1693,7 +1786,18 @@ def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
     return (T * tiles + const_tiles) * SUB * LANE * 4
 
 
-_LONG_T_VMEM_LIMIT = 13 * 2 ** 20   # leave headroom in the ~16MB VMEM
+# Hardware-calibrated, per grid regime (see _long_vmem_bytes):
+# - single tile (B <= 1024, G=1): largest admitted estimates run on a
+#   v5e are 13.81MB (19s/4c T=20) / 13.17MB (16s/5c T=20) / ~14MB
+#   (pendulum T=295, streamed-LinDx T=292); the 14.62MB estimate
+#   (20s/4c T=20) overflowed Mosaic's 16MB scoped-VMEM stack by ~4KB.
+# - multi tile (G>1, double-buffered blocked operands): the 13.0MB
+#   estimate (16s/4c T=20 at G=3) runs; 15.6MB (19s/4c T=20 at G=2)
+#   and 16.2MB (pendulum T=256 at G=2) overflowed at 17.54M/18.06M
+#   observed - the estimator under-predicts G>1 reality by ~1.9MB, so
+#   the multi-tile limit keeps that margin.
+_LONG_T_VMEM_LIMIT = 14 * 2 ** 20
+_LONG_T_VMEM_LIMIT_MULTI = 13 * 2 ** 20
 
 # SoA models with more scalar params than this compile through the
 # long (fori-loop) kernel even at T <= 128 (see fused_batched_solve)
@@ -1900,7 +2004,16 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                    + (_soa_param_count(cost) if cost_mode == 'soa'
                       else 0))
     long_horizon = (T > 128 or route_count > _UNROLL_PARAM_LIMIT
-                    or T * ntau ** 3 > _UNROLL_VOLUME_LIMIT)
+                    or T * ntau ** 3 > _UNROLL_VOLUME_LIMIT
+                    # blocked batched operands past the unrolled
+                    # kernel's scoped-VMEM budget stream via the
+                    # fori-loop kernel (must mirror supports())
+                    or not _short_fits(
+                        T, ns, nc, G > 1, cost_smem=cost_smem,
+                        dyn_smem=dyn_smem, bounds_smem=bounds_smem,
+                        uz_smem=uz_smem, has_uz=has_uz,
+                        has_bounds=has_bounds, has_f=has_f,
+                        lindx=dyn_mode == 'lindx'))
     extra = {}
     if long_horizon:
         scratch = [

@@ -1,17 +1,19 @@
 """Medium-state (ntau > 16) problems through the fori-loop kernel.
 
-Round-3 change: the body-volume gate admits ntau <= 21 (was 16) after
-hardware calibration - ntau=20 (16s/4c) compiles in ~18s on a v5e and
-runs 10.7x the jnp path, while ntau=24 overflows Mosaic's 16MB scoped
-VMEM stack.  These tests pin (a) interpret-mode equivalence of the
-kernel at a medium ntau, (b) the dispatch gates at the calibrated
-boundary so an estimator regression can't re-introduce the lowering
-OOM.  Hardware parity at G=3 (B=2050) is covered by benchmarks/
-hw_sweep.py.
+Round-3 change: the body-volume gate admits ntau <= 23 (was 16, then
+21) after hardware calibration - ntau=20 (16s/4c) compiles in ~18s on
+a v5e and runs 10.7x the jnp path, ntau=22 (18s/4c) in ~71s at 213k
+solves/s and ntau=23 (19s/4c) in ~92s at 200k solves/s (both exactly
+matching the jnp path at B=1024), while ntau=24 overflows Mosaic's
+16MB scoped VMEM stack by ~4KB.  These tests pin (a) interpret-mode
+equivalence of the kernel at a medium ntau, (b) the dispatch gates at
+the calibrated boundary so an estimator regression can't re-introduce
+the lowering OOM.  Hardware parity at G=3 (B=2050) is covered by
+benchmarks/hw_sweep.py.
 
 Reference scope anchor: the reference solver is dimension-generic
 (mpc/mpc.py:70-105 takes any n_state/n_ctrl); the fused kernel covers
-ntau <= 21 and the XLA path (with linalg.solve_spd) covers the rest.
+ntau <= 23 and the XLA path (with linalg.solve_spd) covers the rest.
 """
 
 import dataclasses
@@ -25,7 +27,8 @@ from mpc_tpu import GradMethods, MPCConfig, QuadCost
 from mpc_tpu.types import LinDx
 from mpc_tpu.learning import batched_solve
 from mpc_tpu.ops.fused import (fused_batched_solve, supports,
-                               _long_vmem_bytes, _LONG_T_VMEM_LIMIT)
+                               _long_vmem_bytes, _LONG_T_VMEM_LIMIT,
+                               _LONG_T_VMEM_LIMIT_MULTI)
 
 
 def _medium_problem(ns, nc, T, B, seed=0):
@@ -80,25 +83,46 @@ def test_fused_medium_ntau18_unconstrained_matches_jnp():
 
 
 def test_medium_dispatch_gates():
-    # the hardware-calibrated boundary: 16s/4c T=20 admitted (measured
-    # 18s compile, 10.7x jnp); 20s/4c T=20 rejected (Mosaic VMEM OOM,
-    # observed overflow ~4KB over the 16MB stack); longer T at medium
-    # ntau rejected by the same budget (scratch is T-scaled)
-    for ns, nc, T, expect in [(16, 4, 20, True), (20, 4, 20, False),
-                              (16, 5, 20, False), (16, 4, 64, False)]:
+    # the hardware-calibrated boundary, per grid regime.  Single tile
+    # (B <= 1024, G=1): 16s/4c, 18s/4c, 19s/4c and 16s/5c at T=20 all
+    # lowered + ran on a v5e, exactly matching the jnp path; 20s/4c
+    # overflowed Mosaic's 16MB VMEM stack by ~4KB.  Multi tile (G>1,
+    # double-buffered blocked operands): 16s/4c ran at G=3, while
+    # 19s/4c OOMed at G=2 (17.54M observed) despite running at G=1 -
+    # so the gate must flip on the batch size, and callers that don't
+    # pass one get the conservative multi-tile answer.
+    for ns, nc, T, B, expect in [
+            (16, 4, 20, 1024, True), (18, 4, 20, 1024, True),
+            (19, 4, 20, 1024, True), (16, 5, 20, 1024, True),
+            (20, 4, 20, 1024, False), (16, 4, 64, 1024, False),
+            (16, 4, 20, 2048, True), (18, 4, 20, 2048, False),
+            (19, 4, 20, 2048, False), (16, 5, 20, 2048, False),
+            (19, 4, 20, None, False)]:
         dyn, cost, x0 = _medium_problem(ns, nc, T, 8)
         cfg = _cfg(ns, nc, T)
-        got = supports(cfg, cost, dyn, u_lower=jnp.float32(-1.0))
-        assert got == expect, (ns, nc, T, got)
+        got = supports(cfg, cost, dyn, u_lower=jnp.float32(-1.0),
+                       n_batch=B)
+        assert got == expect, (ns, nc, T, B, got)
 
 
 def test_vmem_estimate_tracks_oom_boundary():
-    # the estimator must reject the shape that actually overflowed
-    # Mosaic's stack and admit the shape that lowered + ran
-    ok = _long_vmem_bytes(20, 16, 4, cost_smem=True, dyn_smem=True,
-                          bounds_smem=True, uz_smem=True, has_uz=False,
-                          has_bounds=True, has_f=False, lindx=True)
-    oom = _long_vmem_bytes(20, 20, 4, cost_smem=True, dyn_smem=True,
-                           bounds_smem=True, uz_smem=True, has_uz=False,
-                           has_bounds=True, has_f=False, lindx=True)
+    # the estimator must reject the shapes that actually overflowed
+    # Mosaic's stack and admit the largest shapes that lowered + ran
+    # on hardware, in both grid regimes
+    kw = dict(cost_smem=True, dyn_smem=True, bounds_smem=True,
+              uz_smem=True, has_uz=False, has_bounds=True,
+              has_f=False, lindx=True)
+    # G=1: 19s/4c and 16s/5c ran; 20s/4c OOMed (~4KB over 16MB)
+    ok = max(_long_vmem_bytes(20, 19, 4, multi_tile=False, **kw),
+             _long_vmem_bytes(20, 16, 5, multi_tile=False, **kw))
+    oom = _long_vmem_bytes(20, 20, 4, multi_tile=False, **kw)
     assert ok <= _LONG_T_VMEM_LIMIT < oom
+    # G>1: 16s/4c ran at G=3; 19s/4c OOMed at G=2 (17.54M observed);
+    # pendulum T=256 OOMed at G=2 (18.06M observed)
+    ok_m = _long_vmem_bytes(20, 16, 4, multi_tile=True, **kw)
+    oom_m = _long_vmem_bytes(20, 19, 4, multi_tile=True, **kw)
+    kw_p = dict(cost_smem=True, dyn_smem=False, bounds_smem=True,
+                uz_smem=True, has_uz=False, has_bounds=True,
+                has_f=False, lindx=False)
+    oom_p = _long_vmem_bytes(256, 3, 1, multi_tile=True, **kw_p)
+    assert ok_m <= _LONG_T_VMEM_LIMIT_MULTI < min(oom_m, oom_p)
