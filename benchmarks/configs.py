@@ -165,6 +165,56 @@ def bench_cartpole(B=512, T=25):
             'unit': f'solves/s (B={B}, T={T}, f32)'}
 
 
+def bench_goal_tracking(B=2048, T=20):
+    """Mixed cost layout: batch-shared weights C with PER-EXAMPLE goal
+    vectors c [T, B, ntau] (each scenario tracks its own reference
+    trajectory) - the canonical batched goal-tracking workload.  The
+    reference broadcasts C and c independently (mpc/mpc.py:205-226), so
+    this mixed pair is valid reference input; the fused path normalizes
+    it to the batched layout at dispatch (ops/fused.py:
+    _normalize_mixed_layouts).  Reports fused and jnp side by side."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu import MPCConfig, QuadCost, GradMethods
+    from mpc_tpu.learning import batched_solve
+    from mpc_tpu.models import PendulumDx
+
+    dtype = jnp.float32
+    dx = PendulumDx()
+    rng = np.random.RandomState(7)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack(
+        [np.cos(th), np.sin(th), np.zeros(B)], 1), dtype)
+    q, _ = dx.get_true_obj()
+    C = jnp.diag(q).astype(dtype)                      # shared [4, 4]
+    # per-example goal angles -> per-example linear terms
+    goal_th = np.pi * (2 * rng.rand(B) - 1)
+    goal = np.stack([np.cos(goal_th), np.sin(goal_th),
+                     np.zeros(B), np.zeros(B)], 1)     # [B, 4]
+    c = jnp.asarray(-(np.asarray(q)[None, None] * goal[None]) *
+                    np.ones((T, 1, 1)), dtype)         # [T, B, 4]
+
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=10,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=5)
+    args = _perturb(rng, (x0, C, c), index=2)
+    fn = jax.jit(lambda x0, C, c: batched_solve(
+        cfg, x0, QuadCost(C, c), dx, u_lower=-2.0, u_upper=2.0).u)
+    dt = _time(fn, args)
+    cfg_j = dataclasses.replace(cfg, use_fused='never')
+    fn_j = jax.jit(lambda x0, C, c: batched_solve(
+        cfg_j, x0, QuadCost(C, c), dx, u_lower=-2.0, u_upper=2.0).u)
+    dt_j = _time(fn_j, args[:18])
+    return {'metric': 'goal_tracking_solves_per_sec',
+            'value': round(B / dt, 1),
+            'unit': (f'solves/s (B={B}, T={T}, shared C + per-example '
+                     f'goals c, f32); jnp path {B / dt_j:.0f}')}
+
+
 def bench_imitation(B=1024, T=10, n_chunk=66, _return_dt=False):
     """Config 4: differentiable-MPC imitation learning step throughput.
 
@@ -575,8 +625,8 @@ def bench_nn_dynamics(B=2048, T=20, hidden=100):
 
 
 def run_all_secondary():
-    for fn in [bench_tvlqr, bench_cartpole, bench_imitation,
-               bench_imitation_long, bench_pod,
+    for fn in [bench_tvlqr, bench_cartpole, bench_goal_tracking,
+               bench_imitation, bench_imitation_long, bench_pod,
                bench_long_horizon, bench_nn_dynamics,
                bench_flops_accounting]:
         print(json.dumps(fn()))

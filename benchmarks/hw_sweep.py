@@ -95,6 +95,34 @@ def sweep_pendulum_uzero_batched():
              tol_mean=3e-4)
 
 
+def sweep_mixed_cost_layout():
+    """Shared C + per-example c (mixed layouts normalize to batched at
+    dispatch, ops/fused.py:_normalize_mixed_layouts).  Also pins that
+    the mixed solve is BITWISE identical to the pre-broadcast fused
+    solve, so the fused-vs-jnp gate only sees the usual f32 tail."""
+    rng = np.random.RandomState(9)
+    x0 = _pend_x0(rng)
+    dx = PendulumDx()
+    q, _ = dx.get_true_obj()
+    C = jnp.diag(q).astype(jnp.float32)                 # shared [4, 4]
+    goal_th = np.pi * (2 * rng.rand(B) - 1)
+    goal = np.stack([np.cos(goal_th), np.sin(goal_th),
+                     np.zeros(B), np.zeros(B)], 1)
+    c = jnp.asarray(np.broadcast_to(
+        -(np.asarray(q)[None, None] * goal[None]),
+        (20, B, 4)), jnp.float32)                       # batched goals
+    cfg = base_cfg()
+    run = lambda cfg_, C_: jax.jit(
+        lambda x: batched_solve(cfg_, x, QuadCost(C_, c), dx,
+                                u_lower=-2., u_upper=2.).u)(x0)
+    _compare('mixed cost layout (shared C + batched c)', cfg,
+             lambda cfg_: run(cfg_, C), tol_mean=3e-4)
+    u_mixed = np.asarray(run(cfg, C))
+    u_bcast = np.asarray(run(cfg, jnp.broadcast_to(C, (20, B, 4, 4))))
+    assert (u_mixed == u_bcast).all(), 'mixed != broadcast bitwise'
+    print('[mixed cost layout] bitwise == fully-broadcast fused')
+
+
 def sweep_pendulum_slew():
     rng = np.random.RandomState(2)
     x0 = _pend_x0(rng)
@@ -387,6 +415,7 @@ def sweep_backward_long_batched(T=131):
 if __name__ == '__main__':
     sweep_pendulum_uzero_shared()
     sweep_pendulum_uzero_batched()
+    sweep_mixed_cost_layout()
     sweep_pendulum_slew()
     sweep_lindx_delta_u()
     sweep_lindx_long_streamed()

@@ -61,8 +61,13 @@ def _phase2_kernel_bwd(cfg, x_init, cost, dynamics, sol1,
     sg = jax.lax.stop_gradient
     bx, bu = sg(sol1.x), sg(sol1.u)
 
-    cost_shared = isinstance(cost, QuadCost) and jnp.ndim(cost.C) <= 3
-    dyn_shared = isinstance(dynamics, LinDx) and jnp.ndim(dynamics.F) == 3
+    # shared only when EVERY leaf is batch-shared: the reference
+    # broadcasts leaves independently (mpc/mpc.py:205-226), so e.g. a
+    # shared C may arrive with per-example c - that pair is batched
+    cost_shared = (isinstance(cost, QuadCost) and jnp.ndim(cost.C) <= 3
+                   and jnp.ndim(cost.c) <= 2)
+    dyn_shared = (isinstance(dynamics, LinDx) and jnp.ndim(dynamics.F) == 3
+                  and (dynamics.f is None or jnp.ndim(dynamics.f) == 2))
 
     if cost_shared:
         # quadratize is trajectory-independent for QuadCost; keep the
@@ -188,9 +193,12 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
             # fallback (slew, f64, VMEM-exceeding shapes)
             from .ops import fused_bwd
             from .types import QuadCost as _QC, LinDx as _LD
-            _cost_sh = isinstance(cost, _QC) and jnp.ndim(cost.C) <= 3
+            _cost_sh = (isinstance(cost, _QC) and jnp.ndim(cost.C) <= 3
+                        and jnp.ndim(cost.c) <= 2)
             _dyn_sh = (isinstance(dynamics, _LD)
-                       and jnp.ndim(dynamics.F) == 3)
+                       and jnp.ndim(dynamics.F) == 3
+                       and (dynamics.f is None
+                            or jnp.ndim(dynamics.f) == 2))
             if (cfg.slew_rate_penalty is None
                     and fused_bwd.supports_bwd(cfg.T, cfg.n_state,
                                                cfg.n_ctrl, dtype,

@@ -253,11 +253,13 @@ class MPC:
         assert x_init.shape[0] == n_batch
 
         # -- cost normalization (batch-shared layouts preserved) -----------
+        # C and c broadcast INDEPENDENTLY, like the reference's
+        # per-param expansions (mpc/mpc.py:205-226): mixed pairs (e.g.
+        # shared weights C + per-example goal vectors c) are valid
         if isinstance(cost, QuadCost):
             C = jnp.asarray(cost.C, dtype)
             c = jnp.asarray(cost.c, dtype)
-            if C.ndim not in (2, 3, 4) or c.ndim not in (1, 2, 3) or \
-                    (C.ndim == 4) != (c.ndim == 3):
+            if C.ndim not in (2, 3, 4) or c.ndim not in (1, 2, 3):
                 raise ValueError('MPC Error: Unexpected QuadCost shape.')
             cost_b = QuadCost(C, c)
         else:

@@ -162,10 +162,13 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
     """
     n_dyn_p = 0
     if isinstance(dynamics, LinDx):
+        # F and f layouts are INDEPENDENT, like the reference's
+        # per-param expandParam broadcasts (mpc/util.py:21-27): mixed
+        # shared/batched pairs are normalized to batched at dispatch
+        # (_normalize_mixed_layouts)
         dyn_ok = getattr(dynamics.F, 'ndim', 0) in (3, 4) and (
             dynamics.f is None
-            or getattr(dynamics.f, 'ndim', 0) == getattr(
-                dynamics.F, 'ndim', 0) - 1)
+            or getattr(dynamics.f, 'ndim', 0) in (2, 3))
     else:
         dyn_ok = _is_soa(dynamics)
         if dyn_ok:
@@ -215,11 +218,12 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
         and (
             (isinstance(cost, QuadCost)
              # batched [T, B, ...] (VMEM) or batch-shared [T, ...]/[...]
-             # (SMEM); C and c must agree on which (mixed layouts fall
-             # back to jnp)
+             # (SMEM); C and c layouts are independent like the
+             # reference's per-param broadcasts (mpc/mpc.py:205-226) -
+             # a mixed pair (e.g. shared weights C + per-example goal
+             # vectors c) is normalized to batched at dispatch
              and getattr(cost.C, 'ndim', 0) in (2, 3, 4)
-             and (getattr(cost.C, 'ndim', 0) == 4) ==
-                 (getattr(cost.c, 'ndim', 0) == 3))
+             and getattr(cost.c, 'ndim', 0) in (1, 2, 3))
             # non-quadratic SoA cost: quadratized in-kernel each outer
             # iteration; slew + non-quadratic cost is an error upstream
             # (reference mpc/mpc.py:451-457)
@@ -280,10 +284,15 @@ def _layout_flags(cfg, cost, dynamics, u_lower, u_zero_I):
     """SMEM-vs-batched layout booleans shared by the dispatch gates
     (mirrors fused_batched_solve's operand preparation)."""
     lindx = isinstance(dynamics, LinDx)
+    # a mixed shared/batched pair is normalized to fully batched at
+    # dispatch (_normalize_mixed_layouts), so it gates as batched here
     return dict(
         cost_smem=(not isinstance(cost, QuadCost)
-                   or getattr(cost.C, 'ndim', 0) < 4),
-        dyn_smem=lindx and getattr(dynamics.F, 'ndim', 0) == 3,
+                   or (getattr(cost.C, 'ndim', 0) < 4
+                       and getattr(cost.c, 'ndim', 0) < 3)),
+        dyn_smem=(lindx and getattr(dynamics.F, 'ndim', 0) == 3
+                  and (dynamics.f is None
+                       or getattr(dynamics.f, 'ndim', 0) == 2)),
         bounds_smem=u_lower is None or jnp.ndim(u_lower) < 3,
         uz_smem=u_zero_I is None or getattr(u_zero_I, 'ndim', 0) < 3,
         has_uz=u_zero_I is not None,
@@ -1808,6 +1817,42 @@ _UNROLL_PARAM_LIMIT = 64
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
+def _normalize_mixed_layouts(cfg, cost, dynamics, B):
+    """Broadcast MIXED shared/batched QuadCost / LinDx pairs to the
+    fully-batched layout.
+
+    The reference broadcasts every cost/dynamics leaf independently
+    (mpc/mpc.py:205-226; util.expandParam, mpc/util.py:21-27), so C may
+    be batch-shared while c is per-example (shared weights +
+    per-example goals) and F shared while f is batched.  The kernel
+    keys its SMEM-vs-VMEM layout per PAIR, so a mixed pair is resolved
+    to batched: the batched leaf already forces the VMEM/streaming
+    path, the broadcast only adds layout, not information.  Both-shared
+    pairs are untouched and keep the SMEM fast path.
+    """
+    T, ns, nc = cfg.T, cfg.n_state, cfg.n_ctrl
+    ntau = ns + nc
+    if isinstance(cost, QuadCost):
+        C, c = jnp.asarray(cost.C), jnp.asarray(cost.c)
+        if (C.ndim == 4) != (c.ndim == 3):
+            if C.ndim < 4:
+                C = C[None, None] if C.ndim == 2 else C[:, None]
+                C = jnp.broadcast_to(C, (T, B, ntau, ntau))
+            else:
+                c = c[None, None] if c.ndim == 1 else c[:, None]
+                c = jnp.broadcast_to(c, (T, B, ntau))
+            cost = QuadCost(C, c)
+    if isinstance(dynamics, LinDx) and dynamics.f is not None:
+        F, f = jnp.asarray(dynamics.F), jnp.asarray(dynamics.f)
+        if (F.ndim == 4) != (f.ndim == 3):
+            if F.ndim == 3:
+                F = jnp.broadcast_to(F[:, None], (T - 1, B, ns, ntau))
+            else:
+                f = jnp.broadcast_to(f[:, None], (T - 1, B, ns))
+            dynamics = LinDx(F, f)
+    return cost, dynamics
+
+
 def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                         u_init=None, u_lower=None, u_upper=None,
                         u_zero_I=None, prev_ctrl=None,
@@ -1816,9 +1861,12 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
 
     Layouts match learning.batched_solve: x_init [B, ns]; bounds/u_init
     time-major [T, B, ...].  Cost / LinDx / bounds may be batched
-    (streamed through VMEM) or batch-shared / scalar (kept in SMEM).
+    (streamed through VMEM) or batch-shared / scalar (kept in SMEM);
+    mixed shared/batched pairs are normalized to batched.
     Returns a batched Solution (out_axes matching the vmapped path).
     """
+    cost, dynamics = _normalize_mixed_layouts(cfg, cost, dynamics,
+                                              x_init.shape[0])
     if cfg.slew_rate_penalty is not None:
         # slew + non-quadratic cost is rejected upstream (supports();
         # reference mpc/mpc.py:451-457)
