@@ -1,0 +1,186 @@
+"""AOT export: serialize compiled solver programs for Python-less serving.
+
+The reference's deployment story is "run the Python module" — it has no
+serving or artifact subsystem at all (SURVEY.md §5).  On TPU the natural
+deployment unit is an ahead-of-time-lowered XLA program: ``jax.export``
+turns the traced solver into a self-contained, versioned StableHLO
+artifact.  The fused Pallas kernels ride along as ``tpu_custom_call``
+payloads — a target on jax.export's guaranteed-stable serialization
+list — so one byte string captures the exact controller (outer iLQR
+loop, in-kernel PNQP, line search, warm-start protocol) that was
+validated, independent of the Python solver stack that produced it.
+Any PJRT runtime can load it: this process later, a different host, or
+C++ serving via the PJRT C API.
+
+Three layers:
+
+``export_fn`` / ``load_fn``
+    Generic: export any jittable callable at example (or symbolic)
+    arguments; load the artifact back into a compiled callable.
+
+``export_solve``
+    The canonical batched MPC solve as a serving artifact with runtime
+    inputs ``(x_init, C, c[, u_lower, u_upper][, u_init])`` and outputs
+    ``(x, u, costs)`` — the reference's return triple (mpc/mpc.py:337).
+
+``export_closed_loop``
+    The fully on-device receding-horizon rollout (closed_loop.py) as a
+    single artifact: ``x_init -> (xs, us, costs)``.
+
+Batch-polymorphic export (one artifact serving every batch size) is
+supported for the jnp path via jax.export symbolic shapes
+(``polymorphic_batch=True``).  The fused Pallas path specializes its
+grid to the batch tile count, so polymorphic export forces
+``use_fused='never'``; export one artifact per served batch size to
+keep the kernel path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..types import MPCConfig, QuadCost
+
+
+def export_fn(fn, *example_args, platforms: Optional[Sequence[str]] = None,
+              **example_kwargs) -> bytes:
+    """Serialize ``fn`` traced at the given example arguments.
+
+    ``example_args`` may be concrete arrays or ``jax.ShapeDtypeStruct``
+    specs (symbolic shapes included).  ``platforms`` defaults to the
+    current backend; pass e.g. ``['tpu', 'cpu']`` for a multi-platform
+    artifact.  Returns the serialized artifact bytes.
+    """
+    exported = jax.export.export(
+        jax.jit(fn),
+        platforms=list(platforms) if platforms is not None else None,
+    )(*example_args, **example_kwargs)
+    return bytes(exported.serialize())
+
+
+def load_fn(data: bytes):
+    """Load an artifact produced by :func:`export_fn` into a compiled
+    callable.  The returned function executes the serialized program
+    (jitted, so repeat calls hit the executable cache); the Python code
+    that exported it is not needed."""
+    exported = jax.export.deserialize(bytearray(data))
+    return jax.jit(exported.call)
+
+
+def _sym_batch(shape, axis, b):
+    """Replace ``axis`` of a concrete shape with the symbolic dim."""
+    s = list(shape)
+    s[axis] = b
+    return tuple(s)
+
+
+def export_solve(cfg: MPCConfig, dynamics, cost: QuadCost, x_init,
+                 u_lower=None, u_upper=None, u_init=None,
+                 polymorphic_batch: bool = False,
+                 platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Export the batched MPC solve as a serving artifact.
+
+    ``cost``/``x_init``/bounds/``u_init`` are EXAMPLES fixing the
+    runtime-input shapes, dtypes, and layouts (batch-shared vs batched
+    cost, scalar vs array bounds); ``cfg`` is baked into the program.
+    The artifact's callable takes, in order, the arguments that were
+    given as arrays — always ``(x_init, C, c)``, then ``(F[, f])`` if
+    ``dynamics`` is a :class:`LinDx` (fresh linearizations per request,
+    the TVLQR serving shape), then ``(u_lower, u_upper)`` if array
+    bounds were given, then ``u_init`` if given — and returns
+    ``(x, u, costs)``, the reference's triple (mpc/mpc.py:337).
+
+    Callable (nonlinear) dynamics are baked into the program — their
+    parameters are compile-time constants, so re-export after training.
+    Scalar (python float) bounds are baked as constants, matching the
+    reference's scalar-bounds broadcast (mpc/mpc.py:127-130).
+
+    With ``polymorphic_batch=True`` the batch axis is exported
+    symbolically: one artifact serves any batch size, on the jnp path
+    (the fused kernel's grid is batch-specialized, so it is disabled).
+    """
+    from ..learning import batched_solve
+    from ..types import LinDx
+
+    if polymorphic_batch:
+        cfg = dataclasses.replace(cfg, use_fused='never')
+
+    x_init = jnp.asarray(x_init)
+    C, c = jnp.asarray(cost.C), jnp.asarray(cost.c)
+    is_lindx = isinstance(dynamics, LinDx)
+    has_f = is_lindx and dynamics.f is not None
+    array_bounds = u_lower is not None and hasattr(u_lower, 'shape') \
+        and jnp.ndim(u_lower) > 0
+    sig = ['x_init', 'C', 'c']
+    if is_lindx:
+        sig.append('F')
+        if has_f:
+            sig.append('f')
+    if array_bounds:
+        sig += ['u_lower', 'u_upper']
+    if u_init is not None:
+        sig.append('u_init')
+
+    def fn(*args):
+        kw = dict(zip(sig, args))
+        dyn = LinDx(kw['F'], kw.get('f')) if is_lindx else dynamics
+        sol = batched_solve(cfg, kw['x_init'],
+                            QuadCost(kw['C'], kw['c']), dyn,
+                            u_init=kw.get('u_init'),
+                            u_lower=kw.get('u_lower', u_lower),
+                            u_upper=kw.get('u_upper', u_upper))
+        return sol.x, sol.u, sol.costs
+
+    ex = {'x_init': x_init, 'C': C, 'c': c}
+    if is_lindx:
+        ex['F'] = jnp.asarray(dynamics.F)
+        if has_f:
+            ex['f'] = jnp.asarray(dynamics.f)
+    if array_bounds:
+        ex['u_lower'] = jnp.asarray(u_lower)
+        ex['u_upper'] = jnp.asarray(u_upper)
+    if u_init is not None:
+        ex['u_init'] = jnp.asarray(u_init)
+
+    if polymorphic_batch:
+        b, = jax.export.symbolic_shape('b')
+        # batch axes: x_init[B, ns]; batched-layout cost/dynamics/
+        # bounds/u_init carry the batch on axis 1 ([T, B, ...],
+        # reference layout mpc/mpc.py:185-186); batch-shared leaves
+        # have one fewer dim, no batch axis, and stay concrete.
+        ndim_batched = {'x_init': 2, 'C': 4, 'c': 3, 'F': 4, 'f': 3,
+                        'u_lower': 3, 'u_upper': 3, 'u_init': 3}
+        specs = []
+        for name in sig:
+            a = ex[name]
+            if a.ndim == ndim_batched[name]:
+                axis = 0 if name == 'x_init' else 1
+                specs.append(jax.ShapeDtypeStruct(
+                    _sym_batch(a.shape, axis, b), a.dtype))
+            else:
+                specs.append(jax.ShapeDtypeStruct(a.shape, a.dtype))
+        return export_fn(fn, *specs, platforms=platforms)
+    return export_fn(fn, *(ex[name] for name in sig), platforms=platforms)
+
+
+def export_closed_loop(cfg: MPCConfig, cost, dynamics, x_init,
+                       n_steps: int, env_dynamics=None,
+                       u_lower=None, u_upper=None,
+                       platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Export the on-device receding-horizon rollout
+    (:func:`mpc_tpu.make_closed_loop`) as one artifact:
+    ``x_init -> {'xs', 'us', 'costs'}`` for a fixed ``n_steps``.
+    Everything else — controller config, cost, internal model, true
+    environment dynamics, bounds, the shift-left warm-start protocol —
+    is baked into the program."""
+    from ..closed_loop import make_closed_loop
+
+    roll = make_closed_loop(cfg, cost, dynamics,
+                            env_dynamics=env_dynamics,
+                            u_lower=u_lower, u_upper=u_upper)
+    return export_fn(lambda x0: roll(x0, n_steps), jnp.asarray(x_init),
+                     platforms=platforms)

@@ -1,0 +1,131 @@
+"""AOT export artifacts (utils/export.py): serialize -> deserialize ->
+execute must reproduce the live solver exactly.
+
+The reference has no serving subsystem (SURVEY.md section 5); these pin
+the TPU-native one: jax.export round-trips of the batched solve (array
+and baked scalar bounds, batch-polymorphic), an exported GRADIENT
+program (the differentiable-MPC backward inside the artifact), and the
+on-device closed loop.
+"""
+import numpy as np
+import numpy.testing as npt
+
+import jax
+import jax.numpy as jnp
+
+from mpc_tpu import (GradMethods, LinDx, MPCConfig, QuadCost,
+                     batched_solve, make_closed_loop)
+from mpc_tpu.models import PendulumDx
+from mpc_tpu.utils.export import (export_closed_loop, export_fn,
+                                  export_solve, load_fn)
+
+
+def _lin_setup(B=3, T=5, ns=3, nc=2):
+    rng = np.random.RandomState(7)
+    ntau = ns + nc
+    F = jnp.asarray(rng.uniform(-0.6, 0.6, (T - 1, B, ns, ntau)))
+    f = jnp.asarray(0.1 * rng.randn(T - 1, B, ns))
+    Cq = rng.randn(T, B, ntau, ntau)
+    C = jnp.asarray(np.matmul(Cq, Cq.transpose(0, 1, 3, 2)) / 2
+                    + 0.5 * np.eye(ntau))
+    c = jnp.asarray(rng.randn(T, B, ntau))
+    x0 = jnp.asarray(rng.randn(B, ns))
+    lb = jnp.full((T, B, nc), -0.7)
+    ub = jnp.full((T, B, nc), 0.7)
+    cfg = MPCConfig(n_state=ns, n_ctrl=nc, T=T, lqr_iter=8, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False)
+    return cfg, LinDx(F, f), QuadCost(C, c), x0, lb, ub
+
+
+def test_solve_roundtrip_array_bounds():
+    cfg, dx, cost, x0, lb, ub = _lin_setup()
+    data = export_solve(cfg, dx, cost, x0, u_lower=lb, u_upper=ub)
+    assert isinstance(data, bytes) and len(data) > 0
+    fn = load_fn(data)
+    x, u, costs = fn(x0, cost.C, cost.c, dx.F, dx.f, lb, ub)
+    ref = batched_solve(cfg, x0, cost, dx, u_lower=lb, u_upper=ub)
+    npt.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-12)
+    npt.assert_allclose(np.asarray(x), np.asarray(ref.x), atol=1e-12)
+    npt.assert_allclose(np.asarray(costs), np.asarray(ref.costs),
+                        atol=1e-12)
+    # fresh cost data through the SAME artifact (serving shape)
+    c2 = cost.c * 0.5
+    _, u2, _ = fn(x0, cost.C, c2, dx.F, dx.f, lb, ub)
+    ref2 = batched_solve(cfg, x0, QuadCost(cost.C, c2), dx,
+                         u_lower=lb, u_upper=ub)
+    npt.assert_allclose(np.asarray(u2), np.asarray(ref2.u), atol=1e-12)
+
+
+def test_solve_scalar_bounds_baked():
+    """Python-float bounds are baked into the artifact (the reference's
+    scalar-bounds broadcast, mpc/mpc.py:127-130): the callable takes
+    only (x_init, C, c)."""
+    cfg, dx, cost, x0, _, _ = _lin_setup()
+    data = export_solve(cfg, dx, cost, x0, u_lower=-0.7, u_upper=0.7)
+    fn = load_fn(data)
+    _, u, _ = fn(x0, cost.C, cost.c, dx.F, dx.f)
+    ref = batched_solve(cfg, x0, cost, dx, u_lower=-0.7, u_upper=0.7)
+    npt.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-12)
+    assert np.abs(np.asarray(u)).max() <= 0.7 + 1e-12
+
+
+def test_solve_polymorphic_batch():
+    """One artifact serves every batch size (jnp path, symbolic b)."""
+    cfg, dx, cost, x0, lb, ub = _lin_setup(B=3)
+    data = export_solve(cfg, dx, cost, x0, u_lower=lb, u_upper=ub,
+                        polymorphic_batch=True)
+    fn = load_fn(data)
+    for B in (2, 5):
+        cfgB, dxB, costB, x0B, lbB, ubB = _lin_setup(B=B)
+        _, u, _ = fn(x0B, costB.C, costB.c, dxB.F, dxB.f, lbB, ubB)
+        ref = batched_solve(cfgB, x0B, costB, dxB,
+                            u_lower=lbB, u_upper=ubB)
+        npt.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-10)
+
+
+def test_exported_gradient_program():
+    """jax.grad THROUGH the KKT fixed point traces before export, so a
+    gradient program exports like any other: the artifact computes the
+    differentiable-MPC backward (mpc/lqr_step.py:311-407) standalone."""
+    cfg, dx, cost, x0, _, _ = _lin_setup()
+    cfg = MPCConfig(**{**cfg.__dict__, 'backprop': True})
+    lb = jnp.full((cfg.T, x0.shape[0], 2), -50.0)
+    ub = jnp.full((cfg.T, x0.shape[0], 2), 50.0)
+
+    def loss(c):
+        sol = batched_solve(cfg, x0, QuadCost(cost.C, c), dx,
+                            u_lower=lb, u_upper=ub)
+        return (sol.u ** 2).sum()
+
+    grad = jax.grad(loss)
+    data = export_fn(grad, cost.c)
+    g_art = load_fn(data)(cost.c)
+    npt.assert_allclose(np.asarray(g_art), np.asarray(grad(cost.c)),
+                        atol=1e-12)
+    assert float(jnp.abs(g_art).max()) > 0
+
+
+def test_closed_loop_roundtrip():
+    """The on-device receding-horizon rollout exports as one artifact
+    and reproduces the live closed loop exactly."""
+    dx = PendulumDx()
+    B, T, n_steps = 2, 6, 3
+    rng = np.random.RandomState(1)
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1))
+    q, p = dx.get_true_obj()
+    cost = QuadCost(jnp.diag(q), jnp.asarray(p))
+    cfg = MPCConfig(n_state=3, n_ctrl=1, T=T, lqr_iter=2,
+                    grad_method=GradMethods.AUTO_DIFF, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=False, linesearch_decay=0.2,
+                    max_linesearch_iter=2)
+    data = export_closed_loop(cfg, cost, dx, x0, n_steps,
+                              u_lower=-2.0, u_upper=2.0)
+    out = load_fn(data)(x0)
+    ref = make_closed_loop(cfg, cost, dx, u_lower=-2.0, u_upper=2.0)(
+        x0, n_steps)
+    for k in ('xs', 'us', 'costs'):
+        npt.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                            atol=1e-12)
