@@ -129,3 +129,20 @@ def test_closed_loop_roundtrip():
     for k in ('xs', 'us', 'costs'):
         npt.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                             atol=1e-12)
+
+
+def test_serving_example_smoke(tmp_path):
+    """examples/serving.py: export an artifact, then answer a request
+    from a FRESH process that never imports mpc_tpu."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'examples', 'serving.py')
+    out = subprocess.run(
+        [_sys.executable, script, '--path', str(tmp_path / 'ctrl.bin'),
+         '--batch', '2', '--horizon', '6'],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert '[serve] OK' in out.stdout, out.stdout
