@@ -12,6 +12,11 @@ from any PJRT runtime (C++ serving via the PJRT C API included).
 Usage:
   python serving.py                # export, then serve in a subprocess
   python serving.py --serve F.bin  # serve-only mode (what a fleet runs)
+
+Serve-only mode reads the request payload (the cost arrays C and c —
+runtime inputs of the artifact, i.e. the per-request data a real
+service would receive over the wire) from ``F.bin.C.npy`` /
+``F.bin.c.npy`` sidecar files written at export time.
 """
 
 import argparse
@@ -22,7 +27,16 @@ import sys
 import numpy as np
 
 
-def export_artifact(path, B=64, T=20):
+def _set_platform(platform):
+    if platform:
+        import jax
+        # env JAX_PLATFORMS is overridden by this rig's sitecustomize,
+        # so pin the backend through jax.config instead
+        jax.config.update('jax_platforms', platform)
+
+
+def export_artifact(path, B=64, T=20, platform=None):
+    _set_platform(platform)
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), '..'))
     import jax.numpy as jnp
@@ -51,8 +65,11 @@ def export_artifact(path, B=64, T=20):
     return np.asarray(C), np.asarray(c)
 
 
-def serve(path):
-    """The serving side: jax.export only — no mpc_tpu import."""
+def serve(path, platform=None):
+    """The serving side: jax.export only — no mpc_tpu import.  The
+    artifact carries the controller; C/c are per-request data, stood in
+    for here by .npy sidecars written at export time."""
+    _set_platform(platform)
     import jax
     import jax.numpy as jnp
 
@@ -81,16 +98,23 @@ def main():
     ap.add_argument('--path', default='/tmp/mpc_controller.bin')
     ap.add_argument('--batch', type=int, default=64)
     ap.add_argument('--horizon', type=int, default=20)
+    ap.add_argument('--platform', default=None,
+                    help='pin the jax backend (e.g. cpu); an artifact '
+                         'runs on the platform(s) it was exported for')
     args = ap.parse_args()
     if args.serve:
-        serve(args.serve)
+        serve(args.serve, platform=args.platform)
         return
-    C, c = export_artifact(args.path, B=args.batch, T=args.horizon)
+    C, c = export_artifact(args.path, B=args.batch, T=args.horizon,
+                           platform=args.platform)
     np.save(args.path + '.C.npy', C)
     np.save(args.path + '.c.npy', c)
     # fresh interpreter: the artifact is the only thing it needs
-    subprocess.run([sys.executable, os.path.abspath(__file__),
-                    '--serve', args.path], check=True)
+    cmd = [sys.executable, os.path.abspath(__file__),
+           '--serve', args.path]
+    if args.platform:
+        cmd += ['--platform', args.platform]
+    subprocess.run(cmd, check=True)
 
 
 if __name__ == '__main__':

@@ -20,12 +20,13 @@ Three layers:
 
 ``export_solve``
     The canonical batched MPC solve as a serving artifact with runtime
-    inputs ``(x_init, C, c[, u_lower, u_upper][, u_init])`` and outputs
+    inputs ``(x_init, C, c[, F, f][, u_lower, u_upper][, u_init])``
+    (``F``/``f`` when dynamics is a LinDx) and outputs
     ``(x, u, costs)`` — the reference's return triple (mpc/mpc.py:337).
 
 ``export_closed_loop``
     The fully on-device receding-horizon rollout (closed_loop.py) as a
-    single artifact: ``x_init -> (xs, us, costs)``.
+    single artifact: ``x_init -> {'xs', 'us', 'costs'}``.
 
 Batch-polymorphic export (one artifact serving every batch size) is
 supported for the jnp path via jax.export symbolic shapes
@@ -113,8 +114,16 @@ def export_solve(cfg: MPCConfig, dynamics, cost: QuadCost, x_init,
     C, c = jnp.asarray(cost.C), jnp.asarray(cost.c)
     is_lindx = isinstance(dynamics, LinDx)
     has_f = is_lindx and dynamics.f is not None
-    array_bounds = u_lower is not None and hasattr(u_lower, 'shape') \
-        and jnp.ndim(u_lower) > 0
+
+    def _is_array_bound(b):
+        return b is not None and hasattr(b, 'shape') and jnp.ndim(b) > 0
+
+    array_bounds = _is_array_bound(u_lower)
+    if array_bounds != _is_array_bound(u_upper):
+        raise ValueError(
+            'u_lower and u_upper must both be arrays (runtime inputs) '
+            'or both be scalars/None (baked constants); got '
+            f'{type(u_lower).__name__} / {type(u_upper).__name__}')
     sig = ['x_init', 'C', 'c']
     if is_lindx:
         sig.append('F')

@@ -7,6 +7,8 @@ and baked scalar bounds, batch-polymorphic), an exported GRADIENT
 program (the differentiable-MPC backward inside the artifact), and the
 on-device closed loop.
 """
+import dataclasses
+
 import numpy as np
 import numpy.testing as npt
 
@@ -71,13 +73,16 @@ def test_solve_scalar_bounds_baked():
 
 
 def test_solve_polymorphic_batch():
-    """One artifact serves every batch size (jnp path, symbolic b)."""
+    """One artifact serves every batch size (jnp path, symbolic b).
+    The reference solve pins use_fused='never' to match the artifact's
+    forced jnp path (fused-vs-jnp parity is only ~1e-5 on TPU)."""
     cfg, dx, cost, x0, lb, ub = _lin_setup(B=3)
     data = export_solve(cfg, dx, cost, x0, u_lower=lb, u_upper=ub,
                         polymorphic_batch=True)
     fn = load_fn(data)
     for B in (2, 5):
         cfgB, dxB, costB, x0B, lbB, ubB = _lin_setup(B=B)
+        cfgB = dataclasses.replace(cfgB, use_fused='never')
         _, u, _ = fn(x0B, costB.C, costB.c, dxB.F, dxB.f, lbB, ubB)
         ref = batched_solve(cfgB, x0B, costB, dxB,
                             u_lower=lbB, u_upper=ubB)
@@ -89,7 +94,7 @@ def test_exported_gradient_program():
     gradient program exports like any other: the artifact computes the
     differentiable-MPC backward (mpc/lqr_step.py:311-407) standalone."""
     cfg, dx, cost, x0, _, _ = _lin_setup()
-    cfg = MPCConfig(**{**cfg.__dict__, 'backprop': True})
+    cfg = dataclasses.replace(cfg, backprop=True)
     lb = jnp.full((cfg.T, x0.shape[0], 2), -50.0)
     ub = jnp.full((cfg.T, x0.shape[0], 2), 50.0)
 
@@ -142,7 +147,7 @@ def test_serving_example_smoke(tmp_path):
         os.path.abspath(__file__))), 'examples', 'serving.py')
     out = subprocess.run(
         [_sys.executable, script, '--path', str(tmp_path / 'ctrl.bin'),
-         '--batch', '2', '--horizon', '6'],
+         '--batch', '2', '--horizon', '6', '--platform', 'cpu'],
         capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stdout + out.stderr
     assert '[serve] OK' in out.stdout, out.stdout
