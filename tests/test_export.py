@@ -151,3 +151,21 @@ def test_serving_example_smoke(tmp_path):
         capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stdout + out.stderr
     assert '[serve] OK' in out.stdout, out.stdout
+
+
+def test_multi_platform_artifact():
+    """One artifact lowered for BOTH cpu and tpu (jnp path, f32): the
+    suite executes the cpu lowering; the tpu lowering was validated on
+    hardware (BASELINE.md round-3 session 6: cpu-vs-tpu max |du|
+    3.3e-5, the usual f32 cross-backend reduction-order difference)."""
+    cfg, dx, cost, x0, lb, ub = _lin_setup()
+    cfg = dataclasses.replace(cfg, use_fused='never')
+    f32 = lambda t: jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), t)
+    dx, cost, x0, lb, ub = f32((dx, cost, x0, lb, ub))
+    data = export_solve(cfg, dx, cost, x0, u_lower=lb, u_upper=ub,
+                        platforms=['cpu', 'tpu'])
+    exp = jax.export.deserialize(bytearray(data))
+    assert {p.lower() for p in exp.platforms} == {'cpu', 'tpu'}
+    _, u, _ = jax.jit(exp.call)(x0, cost.C, cost.c, dx.F, dx.f, lb, ub)
+    ref = batched_solve(cfg, x0, cost, dx, u_lower=lb, u_upper=ub)
+    npt.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=2e-5)
