@@ -65,7 +65,7 @@ def export_artifact(path, B=64, T=20, platform=None):
     return np.asarray(C), np.asarray(c)
 
 
-def serve(path, platform=None):
+def serve(path, platform=None, batch=None):
     """The serving side: jax.export only — no mpc_tpu import.  The
     artifact carries the controller; C/c are per-request data, stood in
     for here by .npy sidecars written at export time."""
@@ -77,6 +77,14 @@ def serve(path, platform=None):
         exported = jax.export.deserialize(bytearray(fh.read()))
     fn = jax.jit(exported.call)
     B = exported.in_avals[0].shape[0]            # x_init is [B, n_state]
+    if not isinstance(B, int):
+        # batch-polymorphic artifact: the leading dim is a symbolic
+        # expression, so the demo batch size must come from the caller
+        if batch is None:
+            raise SystemExit(
+                f'{path} is batch-polymorphic (x_init leading dim is '
+                f'symbolic: {B}); pass --batch to pick a request size')
+        B = batch
     dt = exported.in_avals[0].dtype
     # one synthetic request batch: random initial angles
     rng = np.random.RandomState(0)
@@ -103,7 +111,7 @@ def main():
                          'runs on the platform(s) it was exported for')
     args = ap.parse_args()
     if args.serve:
-        serve(args.serve, platform=args.platform)
+        serve(args.serve, platform=args.platform, batch=args.batch)
         return
     C, c = export_artifact(args.path, B=args.batch, T=args.horizon,
                            platform=args.platform)

@@ -142,6 +142,12 @@ def batched_solve(cfg: MPCConfig, x_init, cost, dynamics,
     Everything else runs the vmapped jnp path.  ``cfg.use_fused``
     overrides.
     """
+    if (u_lower is None) != (u_upper is None):
+        # one-sided bounds would silently clamp against 0.0 in the
+        # Riccati control solve (ops/lqr.py substitutes zeros); the
+        # reference has no one-sided box either (mpc/mpc.py:127-130)
+        raise ValueError('u_lower and u_upper must both be given or '
+                         'both be None')
     if cfg.use_fused != 'never':
         import dataclasses
 

@@ -39,6 +39,7 @@ keep the kernel path.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -79,6 +80,47 @@ def _sym_batch(shape, axis, b):
     return tuple(s)
 
 
+def _dispatch_for_platforms(cfg: MPCConfig, platforms, cost, dynamics,
+                            u_lower, dtype, n_batch) -> MPCConfig:
+    """Pin the fused-vs-jnp dispatch to the EXPORT TARGET platforms.
+
+    The runtime dispatch in ``learning.batched_solve`` keys on the
+    trace-time backend (``jax.default_backend() == 'tpu'``), which is
+    the wrong question at export time: an artifact built on a CPU host
+    for ``platforms=['tpu']`` would silently bake the jnp path into the
+    TPU program, and an artifact built on a TPU host for a platform
+    list that includes ``cpu`` would trace the Pallas ``tpu_custom_call``
+    into a program the CPU lowering cannot run.  Decide from
+    ``platforms`` instead (Mosaic lowering does not need a physical TPU,
+    so tpu-only artifacts keep the kernel from any host).
+    """
+    from ..ops import fused
+
+    plats = ([str(p).lower() for p in platforms] if platforms is not None
+             else [jax.default_backend()])
+    if any(p != 'tpu' for p in plats):
+        if cfg.use_fused == 'always':
+            raise ValueError(
+                "use_fused='always' but platforms includes a non-tpu "
+                f"backend ({plats}): the Pallas kernel only lowers for "
+                "tpu — export a tpu-only artifact to keep the kernel")
+        if 'tpu' in plats and cfg.use_fused == 'auto':
+            warnings.warn(
+                'multi-platform artifact: the fused kernel is disabled '
+                'so every listed platform can run it; the tpu lowering '
+                'executes the jnp path (export platforms=["tpu"] '
+                'separately to keep the kernel)', stacklevel=3)
+        return dataclasses.replace(cfg, use_fused='never')
+    # tpu-only artifact: keep the kernel even when the exporting host's
+    # backend is not TPU (where batched_solve's on_tpu check would lose)
+    if cfg.use_fused == 'auto' and jax.default_backend() != 'tpu':
+        cfg1 = dataclasses.replace(cfg, backprop=False)
+        if fused.supports(cfg1, cost, dynamics, u_lower=u_lower,
+                          dtype=dtype, n_batch=n_batch):
+            return dataclasses.replace(cfg, use_fused='always')
+    return cfg
+
+
 def export_solve(cfg: MPCConfig, dynamics, cost: QuadCost, x_init,
                  u_lower=None, u_upper=None, u_init=None,
                  polymorphic_batch: bool = False,
@@ -107,13 +149,28 @@ def export_solve(cfg: MPCConfig, dynamics, cost: QuadCost, x_init,
     from ..learning import batched_solve
     from ..types import LinDx
 
-    if polymorphic_batch:
-        cfg = dataclasses.replace(cfg, use_fused='never')
-
     x_init = jnp.asarray(x_init)
     C, c = jnp.asarray(cost.C), jnp.asarray(cost.c)
     is_lindx = isinstance(dynamics, LinDx)
     has_f = is_lindx and dynamics.f is not None
+
+    if (u_lower is None) != (u_upper is None):
+        # one-sided bounds silently clamp against 0.0 downstream
+        # (ops/lqr.py substitutes zeros); match the MPC guard
+        # (mpc.py: assert (u_lower is None) == (u_upper is None))
+        raise ValueError('u_lower and u_upper must both be given or '
+                         'both be None (the reference has no one-sided '
+                         'box, mpc/mpc.py:127-130)')
+
+    if polymorphic_batch:
+        cfg = dataclasses.replace(cfg, use_fused='never')
+    else:
+        cfg = _dispatch_for_platforms(
+            cfg, platforms, QuadCost(C, c),
+            LinDx(jnp.asarray(dynamics.F),
+                  jnp.asarray(dynamics.f) if has_f else None)
+            if is_lindx else dynamics,
+            u_lower, x_init.dtype, x_init.shape[0])
 
     def _is_array_bound(b):
         return b is not None and hasattr(b, 'shape') and jnp.ndim(b) > 0
@@ -188,8 +245,11 @@ def export_closed_loop(cfg: MPCConfig, cost, dynamics, x_init,
     is baked into the program."""
     from ..closed_loop import make_closed_loop
 
+    x_init = jnp.asarray(x_init)
+    cfg = _dispatch_for_platforms(cfg, platforms, cost, dynamics, u_lower,
+                                  x_init.dtype, x_init.shape[0])
     roll = make_closed_loop(cfg, cost, dynamics,
                             env_dynamics=env_dynamics,
                             u_lower=u_lower, u_upper=u_upper)
-    return export_fn(lambda x0: roll(x0, n_steps), jnp.asarray(x_init),
+    return export_fn(lambda x0: roll(x0, n_steps), x_init,
                      platforms=platforms)

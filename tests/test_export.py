@@ -47,16 +47,20 @@ def test_solve_roundtrip_array_bounds():
     fn = load_fn(data)
     x, u, costs = fn(x0, cost.C, cost.c, dx.F, dx.f, lb, ub)
     ref = batched_solve(cfg, x0, cost, dx, u_lower=lb, u_upper=ub)
+    # bitwise CANARY: today a deserialized StableHLO module recompiles
+    # to the same program as the live jit in-process.  If an XLA/jax
+    # upgrade makes this fail while the 1e-6 checks below pass, the
+    # artifact is still correct — relax this one assertion.
     npt.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-12)
-    npt.assert_allclose(np.asarray(x), np.asarray(ref.x), atol=1e-12)
+    npt.assert_allclose(np.asarray(x), np.asarray(ref.x), atol=1e-6)
     npt.assert_allclose(np.asarray(costs), np.asarray(ref.costs),
-                        atol=1e-12)
+                        atol=1e-6)
     # fresh cost data through the SAME artifact (serving shape)
     c2 = cost.c * 0.5
     _, u2, _ = fn(x0, cost.C, c2, dx.F, dx.f, lb, ub)
     ref2 = batched_solve(cfg, x0, QuadCost(cost.C, c2), dx,
                          u_lower=lb, u_upper=ub)
-    npt.assert_allclose(np.asarray(u2), np.asarray(ref2.u), atol=1e-12)
+    npt.assert_allclose(np.asarray(u2), np.asarray(ref2.u), atol=1e-6)
 
 
 def test_solve_scalar_bounds_baked():
@@ -68,7 +72,7 @@ def test_solve_scalar_bounds_baked():
     fn = load_fn(data)
     _, u, _ = fn(x0, cost.C, cost.c, dx.F, dx.f)
     ref = batched_solve(cfg, x0, cost, dx, u_lower=-0.7, u_upper=0.7)
-    npt.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-12)
+    npt.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-6)
     assert np.abs(np.asarray(u)).max() <= 0.7 + 1e-12
 
 
@@ -107,7 +111,7 @@ def test_exported_gradient_program():
     data = export_fn(grad, cost.c)
     g_art = load_fn(data)(cost.c)
     npt.assert_allclose(np.asarray(g_art), np.asarray(grad(cost.c)),
-                        atol=1e-12)
+                        atol=1e-6)
     assert float(jnp.abs(g_art).max()) > 0
 
 
@@ -133,7 +137,59 @@ def test_closed_loop_roundtrip():
         x0, n_steps)
     for k in ('xs', 'us', 'costs'):
         npt.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
-                            atol=1e-12)
+                            atol=1e-6)
+
+
+def test_bounds_none_mismatch_raises():
+    """One-sided bounds would silently clamp against 0.0 downstream
+    (ops/lqr.py substitutes zeros for a missing side); both entry
+    points must reject them like MPC's constructor assert does."""
+    import pytest
+    cfg, dx, cost, x0, lb, _ = _lin_setup()
+    with pytest.raises(ValueError, match='both'):
+        export_solve(cfg, dx, cost, x0, u_lower=-0.7, u_upper=None)
+    with pytest.raises(ValueError, match='both'):
+        batched_solve(cfg, x0, cost, dx, u_lower=lb, u_upper=None)
+
+
+def test_tpu_only_artifact_from_cpu_host_bakes_kernel():
+    """Exporting platforms=['tpu'] from a non-TPU host must bake the
+    fused Pallas kernel (Mosaic lowers without a physical TPU), not the
+    trace-time backend's jnp path (ADVICE round 3: batched_solve keys
+    dispatch on jax.default_backend(), wrong at export time)."""
+    dx = PendulumDx()
+    T, B, ns, nc = 5, 8, 3, 1
+    ntau = ns + nc
+    C = jnp.broadcast_to(
+        jnp.diag(jnp.array([1., 1., 0.1, 0.001], jnp.float32)),
+        (T, ntau, ntau))
+    c = jnp.broadcast_to(jnp.array([-1., 0., 0., 0.], jnp.float32),
+                         (T, ntau))
+    x0 = jnp.asarray(np.random.RandomState(0).randn(B, ns), jnp.float32)
+    cfg = MPCConfig(n_state=ns, n_ctrl=nc, T=T, lqr_iter=2,
+                    backprop=False, exit_unconverged=False,
+                    detach_unconverged=False)
+    assert jax.default_backend() != 'tpu'  # conftest pins cpu
+    # the kernel is f32-only; under the suite's x64 mode python-float
+    # constants trace as weak f64, which Mosaic refuses to cast down
+    with jax.enable_x64(False):
+        data = export_solve(cfg, dx, QuadCost(C, c), x0,
+                            u_lower=-2.0, u_upper=2.0, platforms=['tpu'])
+    exp = jax.export.deserialize(bytearray(data))
+    assert [p.lower() for p in exp.platforms] == ['tpu']
+    assert 'tpu_custom_call' in exp.mlir_module()
+
+
+def test_multi_platform_rejects_forced_kernel():
+    """use_fused='always' with a non-tpu platform in the list cannot be
+    honored (the Pallas kernel only lowers for tpu) — loud error, not a
+    broken artifact."""
+    import pytest
+    cfg, dx, cost, x0, lb, ub = _lin_setup()
+    cfg = dataclasses.replace(cfg, use_fused='always')
+    with pytest.raises(ValueError, match='non-tpu'):
+        export_solve(cfg, dx, cost, x0, u_lower=lb, u_upper=ub,
+                     platforms=['cpu', 'tpu'])
 
 
 def test_serving_example_smoke(tmp_path):
