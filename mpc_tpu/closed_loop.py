@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .learning import batched_solve
-from .types import MPCConfig
+from .types import LinDx, MPCConfig
 
 
 def make_closed_loop(cfg: MPCConfig, cost, dynamics,
@@ -43,6 +43,13 @@ def make_closed_loop(cfg: MPCConfig, cost, dynamics,
     environment - pass the true dynamics here to evaluate a controller
     whose internal model is learned/mismatched (the sysid evaluation
     loop of examples/gym_pendulum_approximate.py).
+
+    ``env_dynamics`` follows the library-wide dynamics contract: a
+    SINGLE-INSTANCE callable ``(x [n_state], u [n_ctrl]) -> x'`` that
+    the rollout vmaps over the batch (like ``solver.rollout``) — any
+    callable valid as the controller's ``dynamics`` works unchanged
+    here.  A :class:`LinDx` environment steps with its first-timestep
+    system ``x' = F_0 [x; u] (+ f_0)``.
 
     Returns ``rollout(x_init, n_steps)`` with ``x_init`` [B, n_state]
     and static ``n_steps``, producing a dict with
@@ -58,6 +65,23 @@ def make_closed_loop(cfg: MPCConfig, cost, dynamics,
     rollout at f32 epsilon on an 8-device mesh.
     """
     env = env_dynamics if env_dynamics is not None else dynamics
+    if isinstance(env, LinDx):
+        F0 = env.F[0] if env.F.ndim >= 3 else env.F
+        f0 = (env.f[0] if env.f.ndim >= 2 else env.f) \
+            if env.f is not None else None
+
+        def env_step(x, u):                       # [B, ns], [B, nc]
+            xu = jnp.concatenate([x, u], axis=-1)
+            # batched-layout F0 is [B, ns, ntau]; shared is [ns, ntau]
+            xn = jnp.einsum('...ij,...j->...i', F0, xu)
+            return xn + f0 if f0 is not None else xn
+    else:
+        # single-instance callable (the library-wide contract,
+        # solver.rollout): vmap introduces the batch axis.  A callable
+        # that merely broadcasts over a batch gives identical results
+        # under vmap; one that does not (e.g. matmuls against x) would
+        # previously produce garbage or shape errors here.
+        env_step = jax.vmap(env)
     T, nc = cfg.T, cfg.n_ctrl
     # with a slew-rate penalty, each solve must see the LAST APPLIED
     # control as prev_ctrl (the reference's receding-horizon contract
@@ -74,7 +98,7 @@ def make_closed_loop(cfg: MPCConfig, cost, dynamics,
         x, u_warm, prev = carry
         u_seq, costs = solve(x, u_warm, prev)
         u0 = u_seq[0]
-        x_next = env(x, u0)
+        x_next = env_step(x, u0)
         # shift-left warm start, zero tail (examples/control.py,
         # reference examples/gym_pendulum.py:100)
         u_warm = jnp.concatenate(

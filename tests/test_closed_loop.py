@@ -104,3 +104,57 @@ def test_closed_loop_slew_threads_prev_ctrl():
 
     npt.assert_allclose(np.asarray(out['us']),
                         np.asarray(jnp.stack(us)), atol=1e-5)
+
+
+def test_closed_loop_single_instance_env():
+    """env_dynamics follows the library-wide SINGLE-INSTANCE dynamics
+    contract (solver.rollout vmaps callables): a callable that matmuls
+    against its [n_state] input — valid as MPC dynamics — must work
+    unchanged as env_dynamics.  Before round 4 the rollout called
+    env(x_batch, u_batch) directly, so this env produced shape errors."""
+    dx, x0, cost, cfg = _setup()
+    A = jnp.asarray(np.diag([0.9, 0.9, 0.8]))
+    Bm = jnp.asarray(np.array([[0.0], [0.1], [0.5]]))
+
+    def env(x, u):                      # [3], [1] -> [3]: matmul form
+        return A @ x + Bm @ u
+
+    roll = make_closed_loop(cfg, cost, dx, env_dynamics=env,
+                            u_lower=-2.0, u_upper=2.0)
+    n_steps = 3
+    out = roll(x0, n_steps)
+
+    # host loop with the explicitly-batched equivalent
+    x = x0
+    u_warm = jnp.zeros((cfg.T, x0.shape[0], 1), x0.dtype)
+    for i in range(n_steps):
+        sol = batched_solve(cfg, x, cost, dx, u_init=u_warm,
+                            u_lower=-2.0, u_upper=2.0)
+        u0 = sol.u[0]
+        x = x @ A.T + u0 @ Bm.T
+        u_warm = jnp.concatenate([sol.u[1:], jnp.zeros_like(sol.u[:1])],
+                                 axis=0)
+        npt.assert_allclose(np.asarray(out['xs'][i + 1]), np.asarray(x),
+                            atol=1e-6)
+
+
+def test_closed_loop_lindx_env():
+    """A LinDx environment steps with its first-timestep system
+    x' = F_0 [x; u] + f_0."""
+    from mpc_tpu import LinDx
+
+    dx, x0, cost, cfg = _setup()
+    rng = np.random.RandomState(5)
+    F = jnp.asarray(rng.uniform(-0.4, 0.4, (cfg.T - 1, 3, 4)))
+    f = jnp.asarray(0.05 * rng.randn(cfg.T - 1, 3))
+    roll = make_closed_loop(cfg, cost, dx, env_dynamics=LinDx(F, f),
+                            u_lower=-2.0, u_upper=2.0)
+    out = roll(x0, 2)
+    sol = batched_solve(cfg, x0, cost, dx,
+                        u_init=jnp.zeros((cfg.T, x0.shape[0], 1),
+                                         x0.dtype),
+                        u_lower=-2.0, u_upper=2.0)
+    xu = jnp.concatenate([x0, sol.u[0]], axis=1)
+    expect = xu @ F[0].T + f[0]
+    npt.assert_allclose(np.asarray(out['xs'][1]), np.asarray(expect),
+                        atol=1e-6)
