@@ -397,24 +397,44 @@ class MPC:
 
     def _analytic_check(self, x_init, dynamics, u_init, dtype):
         """Eager cross-check of a model's analytic ``grad_input`` against
-        autodiff (re-design of the reference's dead ANALYTIC_CHECK branch,
-        mpc/mpc.py:552-567, which always asserts False)."""
+        autodiff ALONG THE WARM-START TRAJECTORY (re-design of the
+        reference's dead ANALYTIC_CHECK branch, mpc/mpc.py:552-567,
+        whose intent was a per-timestep check inside the linearization
+        loop but which always asserts False).  Rolls the dynamics from
+        ``x_init`` under ``u_init`` (or zeros) and compares at every
+        (x_t, u_t) the solver would linearize at, so a hand-rolled
+        Jacobian that is wrong only away from the initial state is
+        still caught; reports the worst timestep."""
         cfg = self.cfg
         if getattr(dynamics, 'grad_input', None) is None:
             raise ValueError('ANALYTIC_CHECK requires dynamics.grad_input')
+        B = x_init.shape[0]
         key_u = u_init
         if key_u is None:
-            key_u = jnp.zeros((cfg.T, x_init.shape[0], cfg.n_ctrl), dtype)
-        xt = x_init
-        ut = key_u[0]
-        R_an, S_an = jax.vmap(dynamics.grad_input)(xt, ut)
-        R_ad, S_ad = jax.vmap(jax.jacrev(dynamics, argnums=(0, 1)))(xt, ut)
-        err = max(float(jnp.max(jnp.abs(R_an - R_ad))),
-                  float(jnp.max(jnp.abs(S_an - S_ad))))
+            key_u = jnp.zeros((cfg.T, B, cfg.n_ctrl), dtype)
+        elif key_u.ndim == 2:                        # batch-shared [T, nc]
+            key_u = jnp.broadcast_to(key_u[:, None],
+                                     (cfg.T, B, cfg.n_ctrl))
+        # the states the linearization loop visits (reference
+        # mpc/mpc.py:527-595 re-rolls from x[0] while linearizing)
+        xs = jax.vmap(lambda x0, u: solver.rollout(dynamics, x0, u),
+                      in_axes=(0, 1), out_axes=1)(x_init, key_u)
+        xf = xs[:-1].reshape(-1, cfg.n_state)       # [(T-1)*B, ns]
+        uf = key_u[:-1].reshape(-1, cfg.n_ctrl)
+        R_an, S_an = jax.vmap(dynamics.grad_input)(xf, uf)
+        R_ad, S_ad = jax.vmap(jax.jacrev(dynamics, argnums=(0, 1)))(xf, uf)
+        per_pt = jnp.maximum(
+            jnp.max(jnp.abs(R_an - R_ad), axis=(1, 2)),
+            jnp.max(jnp.abs(S_an - S_ad), axis=(1, 2))).reshape(
+            cfg.T - 1, B)
+        per_t = jnp.max(per_pt, axis=1)
+        err = float(jnp.max(per_t))
         if err > 1e-8:
+            t_bad = int(jnp.argmax(per_t))
             raise AssertionError(
                 f'ANALYTIC_CHECK: analytic dynamics Jacobian is off by '
-                f'{err:.2e} from autodiff.')
+                f'{err:.2e} from autodiff (worst at trajectory step '
+                f'{t_bad} of {cfg.T - 1}).')
 
     # -- reference-parity helpers ------------------------------------------
     def linearize_dynamics(self, x, u, dynamics, diff=None):

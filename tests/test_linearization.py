@@ -56,3 +56,44 @@ def test_nn_grad_input_vs_autodiff():
         R_ad, S_ad = jax.jacrev(dyn, argnums=(0, 1))(x, u)
         npt.assert_allclose(np.asarray(R_an), np.asarray(R_ad), atol=1e-8)
         npt.assert_allclose(np.asarray(S_an), np.asarray(S_ad), atol=1e-8)
+
+
+def test_analytic_check_trajectory_wide():
+    """ANALYTIC_CHECK must catch a hand-rolled Jacobian that is correct
+    AT x_init but wrong away from it (the reference's dead branch,
+    mpc/mpc.py:552-567, intended a per-timestep check inside the
+    linearization loop; a single-point check at (x_init, u_init[0])
+    passes this model)."""
+    import pytest
+    from mpc_tpu import MPC, QuadCost
+
+    ns, nc, T, B = 3, 1, 6, 2
+    x0 = jnp.full((B, ns), 0.5)
+    x0_frozen = x0[0]
+    Bm = jnp.asarray(np.array([[0.1], [0.2], [0.3]]))
+
+    class FrozenJac:
+        """f(x,u) = 0.9 x + 0.1 x^3 + B u, but grad_input returns the
+        TRUE Jacobian evaluated at the initial state regardless of x:
+        exact at t=0, wrong at every later trajectory point."""
+
+        def __call__(self, x, u):
+            return 0.9 * x + 0.1 * x ** 3 + Bm @ u
+
+        def grad_input(self, x, u):
+            return jnp.diag(0.9 + 0.3 * x0_frozen ** 2), Bm
+
+    C = jnp.eye(ns + nc)
+    c = jnp.zeros(ns + nc)
+    ctrl = MPC(ns, nc, T, n_batch=B, lqr_iter=2,
+               grad_method=GradMethods.ANALYTIC_CHECK,
+               exit_unconverged=False, backprop=False)
+    with pytest.raises(AssertionError, match='trajectory step'):
+        ctrl(x0, QuadCost(C, c), FrozenJac())
+
+    class TrueJac(FrozenJac):
+        def grad_input(self, x, u):
+            return jnp.diag(0.9 + 0.3 * x ** 2), Bm
+
+    xs, us, costs = ctrl(x0, QuadCost(C, c), TrueJac())
+    assert np.all(np.isfinite(np.asarray(us)))
