@@ -140,16 +140,80 @@ def roofline(B=4096, iters=66, T=20):
     return out
 
 
+def in_dispatch(B=4096, iters=120, T=20):
+    """Occupancy INSIDE one compiled dispatch (the round-3 verdict's
+    open question): run the device-loop mode (ALL timed iters as one
+    lax.map dispatch) under the profiler and split the per-iteration
+    wall cost into
+
+      * module time  — the XLA while-loop's own device timeline
+        (per-iteration Riccati kernel + input-select fusions), and
+      * residual     — wall minus module: time the tunneled runtime
+        spends around each pallas_call that never appears on the
+        device track (its per-launch handling; round-4 bisection in
+        BASELINE.md shows it is independent of kernel content, code
+        size, and device work).
+
+    in_dispatch_occupancy = pallas busy / module span.  ~0.99 here:
+    the compiled program has no internal idle; the residual is the
+    runtime, which request aggregation (bench.py --sustained, larger
+    grids per launch) amortizes away.
+    """
+    import bench as headline
+    from benchmarks.configs import solve_flops
+
+    trace_dir = f'/tmp/mpc_tpu_dl_trace_b{B}'
+    solves_per_sec, dt = headline.bench_pendulum(
+        B=B, iters=iters, device_loop=True, profile_dir=trace_dir)
+    rep = analyze(trace_dir)
+    dev = _device_row(rep)
+    fl = solve_flops(3, 1, T, lqr_iter=10, ls_iter=5)
+    out = {
+        'metric': f'in_dispatch_b{B}',
+        'solves_per_sec_wall': round(solves_per_sec),
+        'wall_us_per_iter': round(dt * 1e6, 1),
+        'trace': rep['trace'],
+    }
+    if dev is not None:
+        busy = dev['busy_s']
+        # the module (while) slice nests every op slice; busy is the
+        # union, i.e. the module span — per-iteration device time
+        mod_us = busy / iters * 1e6
+        out.update({
+            'module_us_per_iter': round(mod_us, 1),
+            'residual_us_per_iter': round(dt * 1e6 - mod_us, 1),
+            'ns_per_solve_module': round(busy / (B * iters) * 1e9, 1),
+            'achieved_tflops_module': round(B * iters * fl / busy / 1e12,
+                                            3),
+        })
+        # pallas busy vs module span = in-dispatch occupancy
+        path, ev = _load_perfetto(trace_dir)
+        pallas = sum(e.get('dur', 0.0) for e in ev
+                     if e.get('ph') == 'X' and 'closed_call'
+                     in str(e.get('name', '')))
+        if pallas:
+            out['in_dispatch_occupancy'] = round(pallas / 1e6 / busy, 3)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, nargs='*', default=[4096, 65536])
     ap.add_argument('--iters', type=int, default=66)
     ap.add_argument('--analyze-only', metavar='DIR', default=None,
                     help='just parse an existing trace directory')
+    ap.add_argument('--in-dispatch', action='store_true',
+                    help='device-loop trace: in-dispatch occupancy + '
+                         'module-vs-residual split per iteration')
     args = ap.parse_args()
     if args.analyze_only:
         rep = analyze(args.analyze_only)
         print(json.dumps(rep, indent=2, default=str))
+        return
+    if args.in_dispatch:
+        for B in args.batch:
+            print(json.dumps(in_dispatch(B=B, iters=max(args.iters, 24))),
+                  flush=True)
         return
     for B in args.batch:
         print(json.dumps(roofline(B=B, iters=args.iters)), flush=True)
