@@ -69,11 +69,39 @@ def bench_tvlqr(B=128, n_state=3, n_ctrl=4, T=5):
     cfg = MPCConfig(n_state=n_state, n_ctrl=n_ctrl, T=T, lqr_iter=10,
                     eps=0.0, exit_unconverged=False,
                     detach_unconverged=False, backprop=False)
-    fn = jax.jit(lambda x0, C, c, F, f: batched_solve(
-        cfg, x0, QuadCost(C, c), LinDx(F, f)).u)
+    solve = lambda x0, C, c, F, f: batched_solve(
+        cfg, x0, QuadCost(C, c), LinDx(F, f)).u
+    fn = jax.jit(solve)
     dt = _time(fn, _perturb(rng, (x0, C, c, F, f), index=0))
-    return {'metric': 'tvlqr_solves_per_sec', 'value': round(B / dt, 1),
-            'unit': f'solves/s (B={B}, T={T}, {n_state}s/{n_ctrl}c, f32)'}
+
+    # device-loop view (round-3 VERDICT #7): at B=128 the per-call
+    # number is the tunnel's per-launch floor (~40 us of compute inside
+    # a 0.2-1.2 ms launch cost, BASELINE.md round-4), so also measure
+    # the SAME solves as one lax.map dispatch over stacked distinct
+    # instances — solver cost with the launch handling paid per
+    # in-loop kernel launch instead of per host dispatch.
+    import time as _t
+    n_loop = 128
+    Cj, Fj, fj = jnp.asarray(C), jnp.asarray(F), jnp.asarray(f)
+    # perturb x0/c per instance (distinct executions for the remote
+    # dedupe layer); C stays the PSD matrix, F/f the same system
+    xs = jnp.stack([jnp.asarray(x0) + 0.01 * k for k in range(n_loop)])
+    cs = jnp.stack([jnp.asarray(c) + 0.01 * k for k in range(n_loop)])
+    loop = jax.jit(lambda xs, cs: jax.lax.map(
+        lambda o: solve(o[0], Cj, o[1], Fj, fj), (xs, cs)))
+    jax.block_until_ready(loop(xs + 1e-3, cs + 1e-3))
+    t0 = _t.perf_counter()
+    jax.block_until_ready(loop(xs, cs))
+    dt_loop = (_t.perf_counter() - t0) / n_loop
+    # NB (round-4): async-pipelined per-call dispatch OVERLAPS the
+    # runtime's per-launch handling, while the in-loop launches
+    # serialize it — per-call is the faster, truer throughput view
+    # (76us/call ~ the 40us compute reality + amortized overhead); the
+    # device-loop rate is kept as the serialized serving-loop shape.
+    return {'metric': 'tvlqr_solves_per_sec',
+            'value': round(B / dt, 1),
+            'unit': f'solves/s (B={B}, T={T}, {n_state}s/{n_ctrl}c, f32)',
+            'device_loop_solves_per_sec': round(B / dt_loop, 1)}
 
 
 def bench_medium_state(B=2048, T=20):
@@ -269,9 +297,18 @@ def bench_imitation(B=1024, T=10, n_chunk=66, _return_dt=False):
     dt = _time(fn, args_list)
     if _return_dt:
         return dt
-    return {'metric': 'imitation_examples_per_sec',
-            'value': round(B / dt, 1),
-            'unit': f'examples/s fwd+bwd (B={B}, T={T}, f32)'}
+    out = {'metric': 'imitation_examples_per_sec',
+           'value': round(B / dt, 1),
+           'unit': f'examples/s fwd+bwd (B={B}, T={T}, f32)'}
+    if B == 1024:
+        # the B=1024 config is launch-overhead-bound (283us of device
+        # work per fwd+bwd launch pair; BASELINE.md round-4): the same
+        # training step at B=8192 shows the kernel-limited rate a
+        # gradient-accumulation or larger-batch run achieves
+        dt8 = bench_imitation(B=8192, T=T, n_chunk=max(10, n_chunk // 4),
+                              _return_dt=True)
+        out['aggregated_b8192_examples_per_sec'] = round(8192 / dt8, 1)
+    return out
 
 
 def bench_imitation_long(B=4096, T=160, n_chunk=34):
