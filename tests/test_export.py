@@ -93,6 +93,57 @@ def test_solve_polymorphic_batch():
         npt.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-10)
 
 
+def test_solve_flexible_batch_pad_to_tile():
+    """polymorphic_batch + max_batch: ONE artifact serves any b <=
+    max_batch by padding to the static batch (with copies of example 0,
+    like the kernel's own edge padding) and slicing outputs back.  On
+    TPU this keeps the fused kernel (validated on hardware: bitwise vs
+    live at B in {1, 100, 1024}, BASELINE.md round-4); here the cpu
+    lowering exercises the same pad/slice program on the jnp path."""
+    cfg, dx, cost, x0, lb, ub = _lin_setup(B=8)
+    data = export_solve(cfg, dx, cost, x0, u_lower=lb, u_upper=ub,
+                        polymorphic_batch=True, max_batch=8)
+    fn = load_fn(data)
+    for B in (1, 3, 8):
+        sl = lambda a, ax: jnp.take(a, jnp.arange(B), axis=ax)
+        args = (x0[:B], sl(cost.C, 1), sl(cost.c, 1), sl(dx.F, 1),
+                sl(dx.f, 1), sl(lb, 1), sl(ub, 1))
+        x, u, costs = fn(*args)
+        assert u.shape == (cfg.T, B, 2)
+        ref = batched_solve(cfg, x0[:B], QuadCost(args[1], args[2]),
+                            LinDx(args[3], args[4]),
+                            u_lower=args[5], u_upper=args[6])
+        npt.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-10)
+        npt.assert_allclose(np.asarray(costs), np.asarray(ref.costs),
+                            atol=1e-10)
+
+
+def test_flexible_batch_keeps_kernel_for_tpu():
+    """The pad-to-tile artifact exported for platforms=['tpu'] embeds
+    the fused kernel (the plain polymorphic path forces jnp)."""
+    from mpc_tpu.models import PendulumDx
+
+    dx = PendulumDx()
+    T, ns, nc, ntau, Bmax = 5, 3, 1, 4, 16
+    C = jnp.broadcast_to(
+        jnp.diag(jnp.array([1., 1., .1, .001], jnp.float32)),
+        (T, ntau, ntau))
+    c = jnp.broadcast_to(jnp.array([-1., 0., 0., 0.], jnp.float32),
+                         (T, ntau))
+    cfg = MPCConfig(n_state=ns, n_ctrl=nc, T=T, lqr_iter=2,
+                    backprop=False, exit_unconverged=False,
+                    detach_unconverged=False)
+    with jax.enable_x64(False):
+        data = export_solve(cfg, dx, QuadCost(C, c),
+                            jnp.zeros((Bmax, ns), jnp.float32),
+                            u_lower=-2.0, u_upper=2.0,
+                            polymorphic_batch=True, max_batch=Bmax,
+                            platforms=['tpu'])
+    exp = jax.export.deserialize(bytearray(data))
+    assert 'tpu_custom_call' in exp.mlir_module()
+    assert str(exp.in_avals[0].shape[0]) == 'b'
+
+
 def test_exported_gradient_program():
     """jax.grad THROUGH the KKT fixed point traces before export, so a
     gradient program exports like any other: the artifact computes the
