@@ -1795,18 +1795,28 @@ def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
     return (T * tiles + const_tiles) * SUB * LANE * 4
 
 
-# Hardware-calibrated, per grid regime (see _long_vmem_bytes):
-# - single tile (B <= 1024, G=1): largest admitted estimates run on a
-#   v5e are 13.81MB (19s/4c T=20) / 13.17MB (16s/5c T=20) / ~14MB
-#   (pendulum T=295, streamed-LinDx T=292); the 14.62MB estimate
-#   (20s/4c T=20) overflowed Mosaic's 16MB scoped-VMEM stack by ~4KB.
-# - multi tile (G>1, double-buffered blocked operands): the 13.0MB
-#   estimate (16s/4c T=20 at G=3) runs; 15.6MB (19s/4c T=20 at G=2)
-#   and 16.2MB (pendulum T=256 at G=2) overflowed at 17.54M/18.06M
-#   observed - the estimator under-predicts G>1 reality by ~1.9MB, so
-#   the multi-tile limit keeps that margin.
-_LONG_T_VMEM_LIMIT = 14 * 2 ** 20
-_LONG_T_VMEM_LIMIT_MULTI = 13 * 2 ** 20
+# Hardware-calibrated, per grid regime (see _long_vmem_bytes).
+# Round-3 bracketed Mosaic's DEFAULT 16MB scoped-VMEM stack (14.62MB
+# estimate OOM'd by ~4KB; G>1 under-predicted by ~1.9MB).  Round 4
+# raises the requested stack to _LONG_SCOPED_VMEM via CompilerParams
+# (v5e VMEM is 128MB) and re-calibrates against runs with it:
+# - single tile: pendulum T=384 (est 18.2MB) lowers and runs, exact
+#   dispatch behavior vs jnp; T=512 (est 24.2MB) exceeded the remote
+#   compile helper's budget on this rig (not a VMEM OOM) - the limit
+#   sits at the validated point.
+# - multi tile: pendulum T=256 at G=2 (est 16.2MB - the config that
+#   OOM'd the 16MB default stack in round 3) now lowers and runs
+#   (est 16.2MB, so the multi limit sits just above it).
+_LONG_T_VMEM_LIMIT = 19 * 2 ** 20
+_LONG_T_VMEM_LIMIT_MULTI = 17 * 2 ** 20
+
+# Scoped-VMEM limit REQUESTED from Mosaic for the fori-loop kernel
+# (pltpu.CompilerParams.vmem_limit_bytes).  Mosaic's default scoped
+# stack is 16MB, which the calibrations above bracketed; v5e VMEM is
+# 128MB, so raising the request extends the long kernel's T / ntau
+# reach without changing the kernel.  The admission limits above are
+# re-calibrated against this raised stack (round 4).
+_LONG_SCOPED_VMEM = 40 * 2 ** 20
 
 # SoA models with more scalar params than this compile through the
 # long (fori-loop) kernel even at T <= 128 (see fused_batched_solve)
@@ -2120,6 +2130,10 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
             # u0 aliases the u-output buffer (it IS the initial best_u),
             # saving T*nc lane tiles of VMEM
             input_output_aliases={6: 1},
+            # raised scoped-VMEM stack (v5e VMEM is 128MB; Mosaic's
+            # 16MB default was the old T / ntau admission boundary)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_LONG_SCOPED_VMEM),
         )
     else:
         # streaming models always exceed _UNROLL_PARAM_LIMIT and route

@@ -57,14 +57,27 @@ _BWD_VMEM_LIMIT = 11 * 2 ** 20
 # whose compile time is T-independent
 _BWD_UNROLL_VOLUME = 8_000
 
-# VMEM budget for the fori-loop backward kernel: per-t scratch for the
-# gains (Riccati -> rollout handoff) and differentials (rollout ->
-# costate handoff) plus constant-size 2-slot stream buffers
-_BWD_LONG_VMEM_LIMIT = 13 * 2 ** 20
+# VMEM budget for the fori-loop backward kernel (see
+# _bwd_long_vmem_bytes).  Round-4 calibration: with the raised
+# scoped-VMEM stack (_BWD_LONG_SCOPED_VMEM; Mosaic's default was 16MB)
+# the batched-layout medium-ntau configs lower and run - 16s/4c T=20
+# at G=3 measured an 18.3MB actual stack against a 14.7MB estimate
+# (the ~3.6MB gap is ntau^2-register spill), ran correct vs the jnp
+# backward, and beat it 1.19-2.14x across ntau 8-20
+# (BASELINE.md round-4).  24MB keeps ntau<=23 batched T=20 admitted
+# with the spill gap + G>1 margin under the 40MB requested stack.
+_BWD_LONG_VMEM_LIMIT = 24 * 2 ** 20
 
 # SMEM rows (each padded to 512 bytes by Mosaic) available to the
 # shared-layout operands + reduced-gradient outputs; TPU SMEM is 1MB
 _BWD_SMEM_ROW_LIMIT = 1800
+
+# scoped-VMEM limit requested for the fori-loop backward kernel:
+# Mosaic's default is 16MB, but v5e VMEM is 128MB - raising it admits
+# the medium-ntau batched layouts (whose stack, dominated by the
+# ntau^2-register Riccati working set plus stream buffers, measured
+# 18.3MB at 16s/4c T=20 on hardware)
+_BWD_LONG_SCOPED_VMEM = 40 * 2 ** 20
 
 
 def _bwd_vmem_bytes(T, ns, nc, cost_shared=False, dyn_shared=False):
@@ -87,14 +100,17 @@ def _bwd_vmem_bytes(T, ns, nc, cost_shared=False, dyn_shared=False):
 
 def _bwd_long_vmem_bytes(T, ns, nc, cost_shared=False, dyn_shared=False):
     """VMEM working set of the fori-loop backward kernel: per-t scratch
-    (K, k for the Riccati->rollout handoff; dx, du for the rollout->
-    costate handoff) plus constant-size 2-slot DMA stream buffers."""
+    (K, k for the Riccati->rollout handoff; the rollout->costate
+    differentials dx/du ALIAS into the consumed K/k rows, so they cost
+    nothing) plus constant-size 2-slot DMA stream buffers (the (C|c)
+    in-stream buffer doubles as the (dC|dc) out-stream buffer — they
+    are live in disjoint passes)."""
     ntau = ns + nc
-    tiles = T * (nc * ns + nc + ns + nc)
+    tiles = T * (nc * ns + nc)
     R = 2 * ntau + nc                       # packed rx|ru|x|u|I rows
     const = 2 * R
     if not cost_shared:
-        const += 2 * 2 * (ntau + 1) * ntau  # (C|c) in + (dC|dc) out
+        const += 2 * (ntau + 1) * ntau      # shared (C|c)-in / (dC|dc)-out
     if not dyn_shared:
         const += 2 * ns * ntau + 2 * ns * (ntau + 1)   # F in + (dF|df) out
     return (tiles + const) * SUB * LANE * 4
@@ -413,7 +429,7 @@ def _make_bwd_kernel_long(*, T, ns, nc, has_I, has_f, cost_shared,
     XO, UO, IO = ntau, ntau + ns, 2 * ntau
 
     def kernel(C_ref, c_ref, F_ref, vec_ref, dxi_ref, dC_ref, dc_ref,
-               dF_ref, df_ref, K_ref, k_ref, dx_ref, du_ref,
+               dF_ref, df_ref, K_ref, k_ref,
                vbuf_ref, vsem, *stream_refs):
         gi = pl.program_id(0)
 
@@ -425,8 +441,13 @@ def _make_bwd_kernel_long(*, T, ns, nc, has_I, has_f, cost_shared,
 
         srefs = list(stream_refs)
         if not cost_shared:
-            Cbuf_ref, Csem, dCbuf_ref, dCsem = srefs[:4]
-            srefs = srefs[4:]
+            # ONE buffer serves the (C|c) in-stream (passes 1 and 3)
+            # and the (dC|dc) out-stream (pass 2): pass 2 never reads
+            # C, and every pass's copies are fully waited before the
+            # next pass touches the slots
+            Cbuf_ref, Csem, dCsem = srefs[:3]
+            dCbuf_ref = Cbuf_ref
+            srefs = srefs[3:]
         if not dyn_shared:
             Fbuf_ref, Fsem, dFbuf_ref, dFsem = srefs[:4]
 
@@ -591,10 +612,13 @@ def _make_bwd_kernel_long(*, T, ns, nc, has_I, has_f, cost_shared,
                 if has_I:
                     val = jnp.where((Iz_t[m] + zero()) > 0.5, 0.0, val)
                 du_t.append(val)
+            # hand dx_t/du_t to pass 3 by ALIASING into the K/k rows
+            # just consumed (K[t]/k[t] are dead after this step): the
+            # rollout->costate handoff costs no extra VMEM
             for i in range(ns):
-                dx_ref[t, i] = dx[i]
+                K_ref[t, i] = dx[i]
             for m in range(nc):
-                du_ref[t, m] = du_t[m]
+                k_ref[t, m] = du_t[m]
 
             # dC_t = -1/2 (dxu (x) xu + xu (x) dxu); dc_t = -dxu
             # (reference mpc/lqr_step.py:346-353)
@@ -668,8 +692,8 @@ def _make_bwd_kernel_long(*, T, ns, nc, has_I, has_f, cost_shared,
         else:
             C_dma(T - 1, sl).wait()
             Ct, ct = C_load(sl)
-        dx_t = [dx_ref[T - 1, i] for i in range(ns)]
-        du_t = [du_ref[T - 1, m] for m in range(nc)]
+        dx_t = [K_ref[T - 1, i] for i in range(ns)]
+        du_t = [k_ref[T - 1, m] for m in range(nc)]
         lam, dlam = lam_pair(Ct, ct, xs_t, us_t, r_t, dx_t, du_t)
         lam = [li + zero() for li in lam]
         dlam = [di + zero() for di in dlam]
@@ -701,8 +725,8 @@ def _make_bwd_kernel_long(*, T, ns, nc, has_I, has_f, cost_shared,
             else:
                 F_dma(t, slot).wait()
                 Ft = F_load(slot)
-            dx_t = [dx_ref[t, i] for i in range(ns)]
-            du_t = [du_ref[t, m] for m in range(nc)]
+            dx_t = [K_ref[t, i] for i in range(ns)]
+            du_t = [k_ref[t, m] for m in range(nc)]
 
             # dF_t = -(dlam_{t+1} (x) xu_t + lam_{t+1} (x) dxu_t);
             # df_t = -dlam_{t+1}
@@ -933,10 +957,10 @@ def _fused_kkt_backward_long(n_state, C, c, F, x_star, u_star, dl_dx,
 
     dummy_smem = jnp.zeros((1, 1), dtype)
     scratch = [
-        pltpu.VMEM((T, nc * ns, SUB, LANE), dtype),     # K
-        pltpu.VMEM((T, nc, SUB, LANE), dtype),          # k
-        pltpu.VMEM((T, ns, SUB, LANE), dtype),          # dx
-        pltpu.VMEM((T, nc, SUB, LANE), dtype),          # du
+        # K, k double as the rollout->costate handoff: pass 2 writes
+        # dx_t/du_t over the K[t]/k[t] rows it just consumed
+        pltpu.VMEM((T, nc * ns, SUB, LANE), dtype),     # K (then dx)
+        pltpu.VMEM((T, nc, SUB, LANE), dtype),          # k (then du)
         pltpu.VMEM((2, vec.shape[2], SUB, LANE), dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
@@ -967,10 +991,11 @@ def _fused_kkt_backward_long(n_state, C, c, F, x_star, u_star, dl_dx,
         dC_shape = jax.ShapeDtypeStruct((G, T, ntau + 1, ntau, SUB,
                                          LANE), dtype)
         dc_shape = jax.ShapeDtypeStruct((1, 1), dtype)
+        # one 2-slot buffer serves the (C|c) in-stream (passes 1/3)
+        # and the (dC|dc) out-stream (pass 2); separate semaphores
         scratch += [
             pltpu.VMEM((2, ntau + 1, ntau, SUB, LANE), dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, ntau + 1, ntau, SUB, LANE), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
@@ -1027,6 +1052,11 @@ def _fused_kkt_backward_long(n_state, C, c, F, x_star, u_star, dl_dx,
             df_shape,
         ],
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            # medium-ntau batched layouts need a stack past Mosaic's
+            # 16MB default scoped-VMEM limit (v5e VMEM is 128MB);
+            # hardware-calibrated in tests/test_fused_medium.py
+            vmem_limit_bytes=_BWD_LONG_SCOPED_VMEM),
         interpret=interpret,
     )(Cv, cvv, Fv, vec)
 
