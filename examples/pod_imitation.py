@@ -42,7 +42,16 @@ def main():
                     help='directory to save the final TrainState')
     ap.add_argument('--resume', default=None,
                     help='checkpoint directory to resume from')
+    ap.add_argument('--platform', default=None,
+                    help='pin the jax backend (e.g. cpu for the '
+                         'virtual 8-device mesh; this rig\'s '
+                         'sitecustomize overrides env JAX_PLATFORMS, '
+                         'so pin through jax.config)')
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
 
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P

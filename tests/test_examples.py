@@ -59,7 +59,7 @@ def test_pod_imitation_smoke(tmp_path):
     env = dict(os.environ)
     out = subprocess.run(
         [sys.executable, script, '--batch', '32', '--horizon', '6',
-         '--steps', '6', '--checkpoint', ck],
+         '--steps', '6', '--checkpoint', ck, '--platform', 'cpu'],
         capture_output=True, text=True, env=env, timeout=600)
     assert out.returncode == 0, out.stdout + out.stderr
     losses = [float(line.split()[-1]) for line in out.stdout.splitlines()
@@ -69,7 +69,7 @@ def test_pod_imitation_smoke(tmp_path):
     # resume from the checkpoint
     out2 = subprocess.run(
         [sys.executable, script, '--batch', '32', '--horizon', '6',
-         '--steps', '2', '--resume', ck],
+         '--steps', '2', '--resume', ck, '--platform', 'cpu'],
         capture_output=True, text=True, env=env, timeout=600)
     assert out2.returncode == 0, out2.stdout + out2.stderr
     assert 'resumed from' in out2.stdout
