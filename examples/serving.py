@@ -35,7 +35,7 @@ def _set_platform(platform):
         jax.config.update('jax_platforms', platform)
 
 
-def export_artifact(path, B=64, T=20, platform=None):
+def export_artifact(path, B=64, T=20, platform=None, flexible=False):
     _set_platform(platform)
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), '..'))
@@ -56,8 +56,12 @@ def export_artifact(path, B=64, T=20, platform=None):
                     exit_unconverged=False, detach_unconverged=False,
                     backprop=False, linesearch_decay=0.2,
                     max_linesearch_iter=5)
+    # --flexible: ONE batch-polymorphic artifact serving any request
+    # size b <= B (pad-to-tile; keeps the fused kernel on tpu targets)
     data = export_solve(cfg, dx, QuadCost(C, c), x0,
-                        u_lower=-2.0, u_upper=2.0)
+                        u_lower=-2.0, u_upper=2.0,
+                        polymorphic_batch=flexible,
+                        max_batch=B if flexible else None)
     with open(path, 'wb') as fh:
         fh.write(data)
     print(f'[export] {path}: {len(data) / 1e6:.2f} MB '
@@ -90,8 +94,10 @@ def serve(path, platform=None, batch=None):
     rng = np.random.RandomState(0)
     th = np.pi * (2 * rng.rand(B) - 1)
     x0 = jnp.asarray(np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1), dt)
-    C = jnp.asarray(np.load(path + '.C.npy'), dt)
-    c = jnp.asarray(np.load(path + '.c.npy'), dt)
+    # per-request cost data; a flexible artifact's batched inputs must
+    # share the request's batch size, so slice the sidecars to B
+    C = jnp.asarray(np.load(path + '.C.npy')[:, :B], dt)
+    c = jnp.asarray(np.load(path + '.c.npy')[:, :B], dt)
     x, u, costs = fn(x0, C, c)
     print(f'[serve] answered batch of {B}: '
           f'|u| <= {float(jnp.abs(u).max()):.3f} (bound 2.0), '
@@ -109,17 +115,24 @@ def main():
     ap.add_argument('--platform', default=None,
                     help='pin the jax backend (e.g. cpu); an artifact '
                          'runs on the platform(s) it was exported for')
+    ap.add_argument('--flexible', action='store_true',
+                    help='export ONE batch-polymorphic pad-to-tile '
+                         'artifact serving any request size <= --batch '
+                         '(demo serves at half the max)')
     args = ap.parse_args()
     if args.serve:
         serve(args.serve, platform=args.platform, batch=args.batch)
         return
     C, c = export_artifact(args.path, B=args.batch, T=args.horizon,
-                           platform=args.platform)
+                           platform=args.platform, flexible=args.flexible)
     np.save(args.path + '.C.npy', C)
     np.save(args.path + '.c.npy', c)
     # fresh interpreter: the artifact is the only thing it needs
     cmd = [sys.executable, os.path.abspath(__file__),
            '--serve', args.path]
+    if args.flexible:
+        # a smaller request through the same artifact
+        cmd += ['--batch', str(max(1, args.batch // 2))]
     if args.platform:
         cmd += ['--platform', args.platform]
     subprocess.run(cmd, check=True)
