@@ -412,6 +412,66 @@ def sweep_backward_long_batched(T=131):
     assert worst < 1e-4, worst
 
 
+def sweep_backward_medium_batched(ns=16, nc=4, T=20):
+    """Round-4 admission: BATCHED-layout medium-ntau KKT backward
+    through the fori-loop kernel (raised scoped-VMEM stack; buffer
+    sharing + dx/du aliasing).  Same-primal check vs the
+    f32-precision jnp backward at G=3 — the 16s/4c config measured an
+    18.3MB Mosaic stack and beat the jnp phase 2 1.19x (ntau=23:
+    1.9x, exact to 6e-7; BASELINE.md round-4)."""
+    from mpc_tpu.ops import fused_bwd
+    from mpc_tpu.ops.diff import make_lqr_fixed_point
+
+    ntau = ns + nc
+    rng = np.random.RandomState(13)
+    Cr = rng.randn(T, B, ntau, ntau).astype(np.float32)
+    C = jnp.asarray(np.einsum('tbij,tbkj->tbik', Cr, Cr) / ntau
+                    + np.eye(ntau, dtype=np.float32))
+    c = jnp.asarray(rng.randn(T, B, ntau).astype(np.float32))
+    Fn = (0.3 / np.sqrt(ns)) * rng.randn(T - 1, B, ns,
+                                         ntau).astype(np.float32)
+    Fn[..., :, :ns] += 0.9 * np.eye(ns, dtype=np.float32)
+    F = jnp.asarray(Fn)
+    f = jnp.asarray(0.05 * rng.randn(T - 1, B, ns).astype(np.float32))
+    xs = jnp.asarray(rng.randn(T, B, ns).astype(np.float32))
+    us = rng.randn(T, B, nc).astype(np.float32)
+    m = rng.rand(T, B, nc) < 0.3
+    us = jnp.asarray(np.where(m, np.sign(us), us).astype(np.float32))
+    lb = jnp.full((T, B, nc), -1.0, jnp.float32)
+    ub = jnp.full((T, B, nc), 1.0, jnp.float32)
+    gx = jnp.asarray(rng.randn(T, B, ns).astype(np.float32))
+    gu = jnp.asarray(rng.randn(T, B, nc).astype(np.float32))
+    x0 = jnp.zeros((B, ns), jnp.float32)
+
+    assert fused_bwd._bwd_route_long(T, ns, nc, False, False)
+    assert fused_bwd.supports_bwd(T, ns, nc, jnp.float32, False, False)
+    fp_k = fused_bwd.make_batched_fixed_point(ns, True, True)
+    fp_j = make_lqr_fixed_point(ns, True, True)
+
+    def grads(fp, vmapped):
+        def run(args):
+            if vmapped:
+                out = jax.vmap(fp, in_axes=(0, 1, 1, 1, 1, 1, 1, 1, 1),
+                               out_axes=(1, 1))(*args)
+            else:
+                out = fp(*args)
+            return jnp.sum(out[0] * gx) + jnp.sum(out[1] * gu)
+        return jax.jit(jax.grad(run))((x0, C, c, F, f, lb, ub, xs, us))
+
+    g_k = grads(fp_k, False)
+    with jax.default_matmul_precision('float32'):
+        g_j = grads(fp_j, True)
+    worst = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(g_k)[:5],
+                    jax.tree_util.tree_leaves(g_j)[:5]):
+        a, b = np.asarray(a), np.asarray(b)
+        worst = max(worst, np.abs(a - b).max() /
+                    (np.abs(b).max() + 1e-9))
+    print(f'[backward medium batched {ns}s/{nc}c T={T} G=3] '
+          f'same-primal grad rel {worst:.3e}')
+    assert worst < 1e-4, worst
+
+
 if __name__ == '__main__':
     sweep_pendulum_uzero_shared()
     sweep_pendulum_uzero_batched()
@@ -425,4 +485,5 @@ if __name__ == '__main__':
     sweep_backward_shared()
     sweep_backward_long_shared()
     sweep_backward_long_batched()
+    sweep_backward_medium_batched()
     print('ALL G>1 HARDWARE SWEEPS PASS')
