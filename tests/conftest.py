@@ -22,8 +22,29 @@ jax.config.update('jax_enable_x64', True)
 
 # Persistent compilation cache: the interpret-mode Pallas kernels and the
 # f64 solver graphs take minutes of XLA CPU compile time; cache them so
-# repeat suite runs skip the compiles.
+# repeat suite runs skip the compiles.  The dir is keyed by a host CPU
+# fingerprint: the repo (and its cache) persists across machines, and
+# XLA:CPU AOT results compiled for another host's CPU features load
+# with "could lead to SIGILL" warnings, wrong results, and - for one
+# truncated entry written by a killed process - a segfault in the
+# cache read (round 4).
+import hashlib
+import platform
+
+
+def _host_fingerprint():
+    try:
+        with open('/proc/cpuinfo') as fh:
+            for line in fh:
+                if line.startswith('flags'):
+                    return hashlib.sha1(
+                        (platform.machine() + line).encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return platform.machine() or 'unknown'
+
+
 jax.config.update('jax_compilation_cache_dir',
                   os.path.join(os.path.dirname(__file__), '..',
-                               '.jax_cache'))
+                               f'.jax_cache-{_host_fingerprint()}'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
