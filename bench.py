@@ -45,7 +45,7 @@ def _pendulum_inputs(B, T, dtype):
 
 
 def bench_pendulum(B=4096, T=20, iters=120, warmup=2, profile_dir=None,
-                   device_loop=False, sustained=False, merge_cap=262144):
+                   device_loop=False, sustained=False, merge_cap=1048576):
     import jax
     import jax.numpy as jnp
     from mpc_tpu import MPCConfig, QuadCost, GradMethods
@@ -86,10 +86,11 @@ def bench_pendulum(B=4096, T=20, iters=120, warmup=2, profile_dir=None,
         # AGGREGATES queued B-sized requests into larger kernel
         # launches (each solve is independent, results are identical
         # per request).  Merge the iters requests into launches of up
-        # to ``merge_cap`` solves (32+ grid programs each) so the
-        # launch overhead amortizes and the wall rate approaches the
-        # kernel's intrinsic ~69 ns/solve.  Distinct inputs per
-        # request (the remote layer dedupes identical executions).
+        # to ``merge_cap`` solves so the launch overhead amortizes and
+        # the wall rate approaches the kernel's intrinsic ~69 ns/solve
+        # (measured sweep: 11.7M at 256k/launch -> 13.8M at 1M/launch,
+        # 96% of intrinsic; 2M/launch adds nothing).  Distinct inputs
+        # per request (the remote layer dedupes identical executions).
         # at least 3 launches so the first launch's queueing doesn't
         # dominate, each as many B-request multiples as the cap allows
         per_launch = max(B, min((merge_cap // B) * B,
@@ -243,7 +244,7 @@ def _baseline_value(remeasure=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=4096)
-    ap.add_argument('--iters', type=int, default=480)
+    ap.add_argument('--iters', type=int, default=1024)
     ap.add_argument('--remeasure-baseline', action='store_true')
     ap.add_argument('--all', action='store_true',
                     help='also run the secondary BASELINE configs')
@@ -288,7 +289,7 @@ def main():
                  f'lqr_iter=10, f32'
                  + ('' if (args.device_loop or args.per_call_only)
                     else ', sustained: requests aggregated into '
-                         '<=262144-solve kernel launches') + ')'),
+                         '<=1048576-solve kernel launches') + ')'),
         'vs_baseline': round(vs, 2) if vs is not None else None,
     }
     if per_call is not None:
