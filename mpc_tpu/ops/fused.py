@@ -57,6 +57,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -328,15 +329,82 @@ def _mat(n, m):
     return [[None] * m for _ in range(n)]
 
 
+# Literal-zero folding: when the batch-shared quadratic cost is a
+# concrete array at trace time (the common closure-constant case - e.g.
+# a diagonal goal-weight C), its zero entries are baked into the
+# unrolled kernel as Python 0.0 literals and these helpers DROP the
+# corresponding products/adds from the emitted code instead of issuing
+# vector ops that multiply by zero (Mosaic does not fold them).  Every
+# helper is an exact no-op on traced operands, and skipping a
+# `+ 0.0 * x` term is bitwise-identical for finite x, so the
+# specialized kernel's arithmetic matches the unspecialized one.
+
+def _is_lit0(v):
+    return isinstance(v, (int, float)) and v == 0.0
+
+
+def _const_zero_pattern(a, shape):
+    """Zero pattern of a trace-time-CONCRETE array broadcast to
+    ``shape``, or None when the value is a tracer (jit argument /
+    learned parameter) or has no zeros.  The f32 cast matches the
+    kernel's operand dtype so the pattern agrees with the SMEM values
+    the kernel would otherwise load."""
+    if a is None or isinstance(a, jax.core.Tracer):
+        return None
+    arr = np.asarray(a, np.float32)
+    pat = np.ascontiguousarray(np.broadcast_to(arr == 0.0, shape))
+    return pat if pat.any() else None
+
+
+def _addz(a, b):
+    if _is_lit0(a):
+        return b
+    if _is_lit0(b):
+        return a
+    return a + b
+
+
+def _mulz(a, b):
+    if _is_lit0(a) or _is_lit0(b):
+        return 0.0
+    if isinstance(a, float) and a == 1.0:
+        return b
+    if isinstance(b, float) and b == 1.0:
+        return a
+    return a * b
+
+
+def _subz(a, b):
+    if _is_lit0(b):
+        return a
+    if _is_lit0(a):
+        return -b
+    return a - b
+
+
+def _nmulz(a, b):
+    """-a * b with literal-zero folding."""
+    if _is_lit0(a) or _is_lit0(b):
+        return 0.0
+    return -a * b
+
+
+def _dotz(coeffs, xs):
+    """sum_j coeffs[j] * xs[j], dropping literal-zero terms."""
+    acc = 0.0
+    for cf, xv in zip(coeffs, xs):
+        acc = _addz(acc, _mulz(cf, xv))
+    return acc
+
+
 def _quad_lin_cost(Ct, ct, tau):
     """0.5 tau^T C tau + c^T tau for one t (lists of lane-vectors)."""
     n = len(tau)
     acc = 0.0
     for i in range(n):
-        s = 0.0
-        for j in range(n):
-            s = s + Ct[i][j] * tau[j]
-        acc = acc + (0.5 * s + ct[i]) * tau[i]
+        s = _dotz(Ct[i], tau)
+        term = _addz(_mulz(0.5, s), ct[i])
+        acc = _addz(acc, _mulz(term, tau[i]))
     return acc
 
 
@@ -352,14 +420,14 @@ def _cholesky(A, n, jitter=0.0):
     for j in range(n):
         s = A[j][j] + jitter
         for k in range(j):
-            s = s - L[j][k] * L[j][k]
+            s = _subz(s, _mulz(L[j][k], L[j][k]))
         L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
         inv = 1.0 / L[j][j]
         for i in range(j + 1, n):
             s2 = A[i][j]
             for k in range(j):
-                s2 = s2 - L[i][k] * L[j][k]
-            L[i][j] = s2 * inv
+                s2 = _subz(s2, _mulz(L[i][k], L[j][k]))
+            L[i][j] = _mulz(s2, inv)
     return L
 
 
@@ -369,14 +437,14 @@ def _chol_solve(L, b, n):
     for i in range(n):
         s = b[i]
         for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s / L[i][i]
+            s = _subz(s, _mulz(L[i][k], y[k]))
+        y[i] = 0.0 if _is_lit0(s) else s / L[i][i]
     x = [None] * n
     for i in range(n - 1, -1, -1):
         s = y[i]
         for k in range(i + 1, n):
-            s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
+            s = _subz(s, _mulz(L[k][i], x[k]))
+        x[i] = 0.0 if _is_lit0(s) else s / L[i][i]
     return x
 
 
@@ -389,7 +457,8 @@ def _masked_free_chol(H, free, n):
     for i in range(n):
         for j in range(n):
             both = free[i] & free[j]
-            Hm[i][j] = jnp.where(both, H[i][j], 0.0)
+            Hm[i][j] = (0.0 if _is_lit0(H[i][j])
+                        else jnp.where(both, H[i][j], 0.0))
         Hm[i][i] = jnp.where(free[i], H[i][i], 1.0)
     return _cholesky(Hm, n)
 
@@ -409,22 +478,24 @@ def _pnqp_kernel(H, q, lo, hi, x0, n, n_iter):
     def obj(z):
         acc = 0.0
         for i in range(n):
-            s = 0.0
-            for j in range(n):
-                s = s + H[i][j] * z[j]
-            acc = acc + (0.5 * s + q[i]) * z[i]
+            s = _dotz(H[i], z)
+            acc = _addz(acc, _mulz(_addz(_mulz(0.5, s), q[i]), z[i]))
         return acc
 
     def body(_, st):
         x, done_f, _L, _free_f, iters = st
         done = done_f > 0.5
-        g = [sum(H[i][j] * x[j] for j in range(n)) + q[i]
-             for i in range(n)]
+        g = [_addz(_dotz(H[i], x), q[i]) for i in range(n)]
         clamped = [((x[i] == lo[i]) & (g[i] > 0)) |
                    ((x[i] == hi[i]) & (g[i] < 0)) for i in range(n)]
         free = [~clamped[i] for i in range(n)]
         g_ = [jnp.where(clamped[i], 0.0, g[i]) for i in range(n)]
         L_free = _masked_free_chol(H, free, n)
+        # literal-zero folds (H entries baked as 0.0) must not ride the
+        # fori_loop carry: anchor them to lane vectors so the carry
+        # pytree keeps a uniform (8, 128) structure
+        L_free = [[zero if _is_lit0(e) else e for e in row]
+                  for row in L_free]
         dx = [-d for d in _chol_solve(L_free, g_, n)]
 
         dx2 = 0.0
@@ -480,7 +551,8 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                  not_improved_lim, linesearch_decay, max_linesearch_iter,
                  delta_u=None, cost_smem=False, bounds_smem=False,
                  dyn_smem=False, has_uz=False, uz_smem=False,
-                 cost_mode='quad', soa_cost=None, n_cost_params=0):
+                 cost_mode='quad', soa_cost=None, n_cost_params=0,
+                 C_zero=None, c_zero=None):
     ntau = ns + nc
     alphas = [linesearch_decay ** k for k in range(max_linesearch_iter)]
 
@@ -493,10 +565,18 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
         elif cost_smem:
             # batch-shared quadratic cost: scalars from SMEM, broadcast
             # lazily against the lane vectors (saves the [T, B, n, n]
-            # materialization + relayout + VMEM streaming entirely)
-            C = [[[C_ref[t, i * ntau + j] for j in range(ntau)]
+            # materialization + relayout + VMEM streaming entirely).
+            # Entries the dispatcher proved zero at trace time
+            # (C_zero/c_zero - the cost was a concrete closure constant)
+            # become literal 0.0 so the _dotz/_addz sites below drop
+            # their products from the emitted code entirely (a diagonal
+            # C skips ~3/4 of every quadratic form).
+            C = [[[(0.0 if C_zero is not None and C_zero[t][i][j]
+                    else C_ref[t, i * ntau + j]) for j in range(ntau)]
                   for i in range(ntau)] for t in range(T)]
-            c = [[c_ref[t, i] for i in range(ntau)] for t in range(T)]
+            c = [[(0.0 if c_zero is not None and c_zero[t][i]
+                   else c_ref[t, i]) for i in range(ntau)]
+                 for t in range(T)]
         else:
             C = [[[C_ref[t, i, j, 0] for j in range(ntau)]
                   for i in range(ntau)] for t in range(T)]
@@ -618,7 +698,7 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
         def traj_cost(x_seq, u_seq):
             acc = 0.0
             for t in range(T):
-                acc = acc + stage_cost(t, x_seq[t], u_seq[t])
+                acc = _addz(acc, stage_cost(t, x_seq[t], u_seq[t]))
             return acc
 
         x_init_traj = rollout_init(u0)
@@ -674,9 +754,8 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                 cb = []
                 for t in range(T):
                     tau = x[t] + u[t]
-                    cb.append([
-                        sum(C[t][i][j] * tau[j] for j in range(ntau))
-                        + c[t][i] for i in range(ntau)])
+                    cb.append([_addz(_dotz(C[t][i], tau), c[t][i])
+                               for i in range(ntau)])
 
             # ---- Riccati backward recursion ------------------------------
             # (reference mpc/lqr_step.py:52-160; delta-space gains)
@@ -695,16 +774,18 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                     W = _mat(ns, ntau)
                     for i in range(ns):
                         for j in range(ntau):
-                            W[i][j] = sum(Vm[i][kk] * Ft[kk][j]
-                                          for kk in range(ns))
+                            W[i][j] = _dotz(Vm[i],
+                                            [Ft[kk][j] for kk in range(ns)])
                     Qt = _mat(ntau, ntau)
                     for a in range(ntau):
                         for b in range(a, ntau):
-                            Qt[a][b] = Cq[t][a][b] + sum(
-                                Ft[kk][a] * W[kk][b] for kk in range(ns))
+                            Qt[a][b] = _addz(
+                                Cq[t][a][b],
+                                _dotz([Ft[kk][a] for kk in range(ns)],
+                                      [W[kk][b] for kk in range(ns)]))
                             Qt[b][a] = Qt[a][b]
-                    qt = [cb[t][a] + sum(Ft[kk][a] * vv[kk]
-                                         for kk in range(ns))
+                    qt = [_addz(cb[t][a],
+                                _dotz([Ft[kk][a] for kk in range(ns)], vv))
                           for a in range(ntau)]
 
                 Quu = [[Qt[ns + i][ns + j] for j in range(nc)]
@@ -724,36 +805,43 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                                 for i in range(nc)]
                         if nc == 1:
                             inv = 1.0 / Quu[0][0]
-                            kt = [jnp.where(free[0], -qu[0] * inv, 0.0)]
-                            Kt = [[jnp.where(free[0], -Qux[0][j] * inv,
+                            kt = [0.0 if _is_lit0(qu[0]) else
+                                  jnp.where(free[0], -qu[0] * inv, 0.0)]
+                            Kt = [[0.0 if _is_lit0(Qux[0][j]) else
+                                   jnp.where(free[0], -Qux[0][j] * inv,
                                              0.0) for j in range(ns)]]
                         else:
-                            qu_m = [jnp.where(free[i], qu[i], 0.0)
+                            qu_m = [0.0 if _is_lit0(qu[i]) else
+                                    jnp.where(free[i], qu[i], 0.0)
                                     for i in range(nc)]
                             L_f = _masked_free_chol(Quu, free, nc)
-                            kt = [-v for v in _chol_solve(L_f, qu_m, nc)]
+                            kt = [-v if not _is_lit0(v) else 0.0
+                                  for v in _chol_solve(L_f, qu_m, nc)]
                             cols = [_chol_solve(
                                 L_f,
-                                [jnp.where(free[i], Qux[i][j], 0.0)
+                                [0.0 if _is_lit0(Qux[i][j]) else
+                                 jnp.where(free[i], Qux[i][j], 0.0)
                                  for i in range(nc)], nc)
                                 for j in range(ns)]
-                            Kt = [[-cols[j][i] for j in range(ns)]
+                            Kt = [[-cols[j][i] if not _is_lit0(cols[j][i])
+                                   else 0.0 for j in range(ns)]
                                   for i in range(nc)]
                     elif nc == 1:
                         inv = 1.0 / Quu[0][0]
-                        kt = [-qu[0] * inv]
-                        Kt = [[-Qux[0][j] * inv for j in range(ns)]]
+                        kt = [_nmulz(qu[0], inv)]
+                        Kt = [[_nmulz(Qux[0][j], inv) for j in range(ns)]]
                     else:
                         # Cholesky with jitter instead of the
                         # reference's per-example pinverse
                         # (mpc/lqr_step.py:89-94; SURVEY.md section 7)
                         L = _cholesky(Quu, nc, jitter=1e-11)
-                        kt = [-v for v in _chol_solve(L, qu, nc)]
-                        Kt = []
+                        kt = [-v if not _is_lit0(v) else 0.0
+                              for v in _chol_solve(L, qu, nc)]
                         cols = [_chol_solve(
                             L, [Qux[i][j] for i in range(nc)], nc)
                             for j in range(ns)]
-                        Kt = [[-cols[j][i] for j in range(ns)]
+                        Kt = [[-cols[j][i] if not _is_lit0(cols[j][i])
+                               else 0.0 for j in range(ns)]
                               for i in range(nc)]
                 else:
                     lo = [lb[t][j] - u[t][j] for j in range(nc)]
@@ -767,13 +855,14 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                         # closed-form 1-D box QP (ops/pnqp.py:pnqp_1d)
                         Quu_s = Quu[0][0]
                         inv = 1.0 / Quu_s
-                        kf = -qu[0] * inv
+                        kf = _nmulz(qu[0], inv)
                         kv = jnp.clip(kf, lo[0], hi[0])
-                        g = Quu_s * kv + qu[0]
+                        g = _addz(Quu_s * kv, qu[0])
                         clamped = ((kv == lo[0]) & (g > 0)) | \
                             ((kv == hi[0]) & (g < 0))
                         kt = [kv]
-                        Kt = [[jnp.where(clamped, 0.0, -Qux[0][j] * inv)
+                        Kt = [[0.0 if _is_lit0(Qux[0][j]) else
+                               jnp.where(clamped, 0.0, -Qux[0][j] * inv)
                                for j in range(ns)]]
                         qp_cnt = qp_cnt + 1.0
                     else:
@@ -789,10 +878,12 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                         qp_cnt = qp_cnt + qp_it
                         cols = [_chol_solve(
                             L_free,
-                            [jnp.where(free[i], Qux[i][j], 0.0)
+                            [0.0 if _is_lit0(Qux[i][j]) else
+                             jnp.where(free[i], Qux[i][j], 0.0)
                              for i in range(nc)], nc)
                             for j in range(ns)]
-                        Kt = [[-cols[j][i] for j in range(ns)]
+                        Kt = [[-cols[j][i] if not _is_lit0(cols[j][i])
+                               else 0.0 for j in range(ns)]
                               for i in range(nc)]
                     prev_kt = kt
                 K[t] = Kt
@@ -803,25 +894,29 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                 QK = _mat(ns, ns)     # Qxu @ K
                 for i in range(ns):
                     for j in range(ns):
-                        QK[i][j] = sum(Qt[i][ns + m] * Kt[m][j]
-                                       for m in range(nc))
+                        QK[i][j] = _dotz([Qt[i][ns + m] for m in range(nc)],
+                                         [Kt[m][j] for m in range(nc)])
                 KQuu = _mat(nc, ns)   # Quu @ K  (transposed use)
                 for m in range(nc):
                     for j in range(ns):
-                        KQuu[m][j] = sum(Quu[m][mm] * Kt[mm][j]
-                                         for mm in range(nc))
+                        KQuu[m][j] = _dotz(Quu[m],
+                                           [Kt[mm][j] for mm in range(nc)])
                 Vn = _mat(ns, ns)
                 for i in range(ns):
                     for j in range(i, ns):
-                        kqk = sum(Kt[m][i] * KQuu[m][j] for m in range(nc))
-                        Vn[i][j] = Qt[i][j] + QK[i][j] + QK[j][i] + kqk
+                        kqk = _dotz([Kt[m][i] for m in range(nc)],
+                                    [KQuu[m][j] for m in range(nc)])
+                        Vn[i][j] = _addz(_addz(Qt[i][j], QK[i][j]),
+                                         _addz(QK[j][i], kqk))
                         Vn[j][i] = Vn[i][j]
-                Quuk = [sum(Quu[m][mm] * kt[mm] for mm in range(nc))
-                        for m in range(nc)]
-                vn = [qt[i]
-                      + sum(Qt[i][ns + m] * kt[m] for m in range(nc))
-                      + sum(Kt[m][i] * (qu[m] + Quuk[m])
-                            for m in range(nc))
+                Quuk = [_dotz(Quu[m], kt) for m in range(nc)]
+                vn = [_addz(
+                          _addz(qt[i],
+                                _dotz([Qt[i][ns + m] for m in range(nc)],
+                                      kt)),
+                          _dotz([Kt[m][i] for m in range(nc)],
+                                [_addz(qu[m], Quuk[m])
+                                 for m in range(nc)]))
                       for i in range(ns)]
                 Vm, vv = Vn, vn
 
@@ -844,8 +939,8 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                     dxt = [nx[t][i] - x[t][i] for i in range(ns)]
                     ut = []
                     for m in range(nc):
-                        v = (sum(K[t][m][j] * dxt[j] for j in range(ns))
-                             + u[t][m] + a * k[t][m])
+                        v = _addz(_dotz(K[t][m], dxt),
+                                  _addz(u[t][m], _mulz(a, k[t][m])))
                         if has_uz:
                             # zero-mask before the clamp, like the
                             # reference (mpc/lqr_step.py:197-213)
@@ -862,7 +957,7 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                             v = jnp.clip(v, lo_f, hi_f)
                         ut.append(v)
                     nu.append(ut)
-                    cost_a = cost_a + stage_cost(t, nx[t], ut)
+                    cost_a = _addz(cost_a, stage_cost(t, nx[t], ut))
                     if t < T - 1:
                         nx.append(dyn_step(t, nx[t], ut))
                 if ki == 0:
@@ -1906,6 +2001,7 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         return a.reshape(a.shape[:-1] + (G, SUB, LANE))
 
     dummy_smem = jnp.zeros((1, 1), dtype)
+    C_zero = c_zero = None
 
     # ---- cost -------------------------------------------------------------
     if isinstance(cost, QuadCost):
@@ -1916,6 +2012,31 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         ca = jnp.asarray(cost.c, dtype)
         cost_smem = Ca.ndim < 4
         if cost_smem:
+            # Trace-time zero patterns of CONCRETE shared costs (the
+            # closure-constant case - jitting over x_init with a fixed
+            # objective, or eager solves).  The unrolled kernel bakes
+            # these entries as literal 0.0 and drops their products
+            # from the emitted code (see _make_kernel) - a diagonal C
+            # skips ~75% of every quadratic form, cb row, and Riccati
+            # Qt term.  Arithmetic is bitwise-identical (dropping
+            # `+ 0.0 * x` is exact for finite x); under the MPC class
+            # or a jit that takes the cost as an ARGUMENT the leaves
+            # are tracers and the patterns stay None.
+            C_zero = _const_zero_pattern(cost.C, (T, ntau, ntau))
+            c_zero = _const_zero_pattern(cost.c, (T, ntau))
+            if C_zero is not None:
+                # never bake the control-block diagonal: a literal-zero
+                # Quu diagonal would fold 1/Quu (and the in-kernel
+                # PNQP's traced-gradient invariant) at trace time where
+                # the SMEM path produces a runtime inf
+                for i in range(nc):
+                    C_zero[:, ns + i, ns + i] = False
+                C_zero = (None if not C_zero.any() else
+                          tuple(tuple(tuple(bool(v) for v in row)
+                                      for row in m) for m in C_zero))
+            if c_zero is not None:
+                c_zero = tuple(tuple(bool(v) for v in row)
+                               for row in c_zero)
             C = jnp.broadcast_to(Ca, (T, ntau, ntau)).reshape(
                 T, ntau * ntau)
             c = jnp.broadcast_to(ca, (T, ntau))
@@ -2139,7 +2260,7 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         # streaming models always exceed _UNROLL_PARAM_LIMIT and route
         # long; the unrolled kernel has no streaming path
         assert dyn_mode != 'soa_stream'
-        kernel = _make_kernel(**common)
+        kernel = _make_kernel(**common, C_zero=C_zero, c_zero=c_zero)
 
     xs, us, stats = pl.pallas_call(
         kernel,
