@@ -14,6 +14,15 @@ Usage: python benchmarks/probe_vmem.py [vmem_mb] [ns] [nc] [T] [B]
 import sys
 import time
 
+# This probe monkeypatches pl.pallas_call and lifts the fused-dispatch
+# admission gates AT IMPORT TIME (the patch must land before mpc_tpu
+# imports).  That is only safe as a standalone process — refuse import.
+if __name__ != '__main__':
+    raise ImportError(
+        'benchmarks.probe_vmem is a standalone __main__ probe: it '
+        'monkeypatches pallas_call and the fused admission gates at '
+        'import time. Run it as `python benchmarks/probe_vmem.py`.')
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -87,7 +96,12 @@ def main():
     ref = batched_solve(cfg, x0, cost, dyn, u_lower=-1.0, u_upper=1.0)
     jax.block_until_ready(ref.u)
     err = float(jnp.max(jnp.abs(ref.u - fus.u)))
-    print(f'max|u_fused - u_jnp| = {err:.3e}')
+    rel = float(jnp.max(jnp.abs(ref.u - fus.u)
+                        / jnp.maximum(jnp.abs(ref.u), 1e-3)))
+    print(f'max|u_fused - u_jnp| = {err:.3e}, max rel = {rel:.3e}')
+    if not (rel < 1e-3):
+        print(f'FAIL: max rel {rel:.3e} >= 1e-3')
+        sys.exit(1)
 
     # timing: async pipelined chunk, distinct inputs, single sync
     x0s = [x0 + 0.001 * i for i in range(32)]

@@ -336,8 +336,11 @@ def _mat(n, m):
 # corresponding products/adds from the emitted code instead of issuing
 # vector ops that multiply by zero (Mosaic does not fold them).  Every
 # helper is an exact no-op on traced operands, and skipping a
-# `+ 0.0 * x` term is bitwise-identical for finite x, so the
-# specialized kernel's arithmetic matches the unspecialized one.
+# `+ 0.0 * x` term is exact for finite x; the only observable drift is
+# ulp-scale, from the backend contracting the REMAINING chain into
+# different fused multiply-adds (measured 2.4e-7 on XLA:CPU interpret;
+# bitwise-equal on the TPU Mosaic path in the round-5 hardware A/B,
+# which also measured the win: 12.96 -> 14.70M headline solves/s).
 
 def _is_lit0(v):
     return isinstance(v, (int, float)) and v == 0.0
@@ -351,8 +354,16 @@ def _const_zero_pattern(a, shape):
     the kernel would otherwise load."""
     if a is None or isinstance(a, jax.core.Tracer):
         return None
-    arr = np.asarray(a, np.float32)
-    pat = np.ascontiguousarray(np.broadcast_to(arr == 0.0, shape))
+    try:
+        # device arrays transfer to host here (16-64 floats); folding is
+        # an optimization, so any transfer failure just disables it
+        arr = np.asarray(a, np.float32)
+    except Exception:
+        return None
+    # broadcast_to returns a read-only view (and ascontiguousarray is a
+    # no-op when the input already has the full shape); callers edit the
+    # pattern in place, so always materialize a writable copy
+    pat = np.array(np.broadcast_to(arr == 0.0, shape))
     return pat if pat.any() else None
 
 
@@ -2018,8 +2029,9 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
             # these entries as literal 0.0 and drops their products
             # from the emitted code (see _make_kernel) - a diagonal C
             # skips ~75% of every quadratic form, cb row, and Riccati
-            # Qt term.  Arithmetic is bitwise-identical (dropping
-            # `+ 0.0 * x` is exact for finite x); under the MPC class
+            # Qt term.  Arithmetic is exact up to FMA recontraction of
+            # the shortened chains (see the helper block comment
+            # above _is_lit0); under the MPC class
             # or a jit that takes the cost as an ARGUMENT the leaves
             # are tracers and the patterns stay None.
             C_zero = _const_zero_pattern(cost.C, (T, ntau, ntau))

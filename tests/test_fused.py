@@ -357,3 +357,78 @@ def test_rotate_unit_degenerate():
                          jnp.float32(0.3))
     np.testing.assert_allclose(float(c2), float(jnp.cos(th)), atol=1e-6)
     np.testing.assert_allclose(float(s2), float(jnp.sin(th)), atol=1e-6)
+
+
+def test_const_zero_pattern_writable():
+    """Regression: when the input already has the full target shape,
+    np.broadcast_to returns a contiguous READ-ONLY view; the pattern
+    must still be writable (the dispatcher edits the Quu diagonal in
+    place — this crashed test_fused_slew_rate_lindx)."""
+    from mpc_tpu.ops.fused import _const_zero_pattern
+    T, ntau = 4, 5
+    full = np.zeros((T, ntau, ntau), np.float32)
+    pat = _const_zero_pattern(full, (T, ntau, ntau))
+    assert pat is not None
+    pat[:, 0, 0] = False            # must not raise
+    # broadcastable input too
+    pat2 = _const_zero_pattern(np.eye(ntau, dtype=np.float32),
+                               (T, ntau, ntau))
+    pat2[:, 1, 1] = False
+    # tracers and all-nonzero inputs yield None
+    assert _const_zero_pattern(np.ones((ntau,), np.float32),
+                               (T, ntau)) is None
+
+
+def test_fused_zero_folding_equivalent():
+    """Literal-zero folding of trace-time-concrete shared costs: the
+    specialized kernel (diagonal C entries baked as literal 0.0, their
+    products dropped from the emitted code) must match the
+    unspecialized kernel.  Dropping `+ 0.0 * x` is exact in real
+    arithmetic, but removing a term can change how the backend
+    CONTRACTS the remaining chain into fused multiply-adds, so the
+    comparison allows ulp-scale drift (measured 2.4e-7 on XLA:CPU;
+    bitwise-equal on the TPU Mosaic path at B=2048 in the round-5
+    hardware A/B)."""
+    from mpc_tpu.ops import fused as fused_mod
+
+    dx = PendulumDx(params=jnp.array([10., 1., 1.], jnp.float32))
+    rng = np.random.RandomState(5)
+    B, T = 32, 5
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1), jnp.float32)
+    q, p = dx.get_true_obj()
+    C = jnp.diag(q).astype(jnp.float32)        # concrete shared diag
+    c = jnp.asarray(p, jnp.float32)
+    cfg = _cfg(T)
+
+    def run():
+        return fused_batched_solve(cfg, x0, QuadCost(C, c), dx,
+                                   u_lower=jnp.float32(-2.0),
+                                   u_upper=jnp.float32(2.0),
+                                   interpret=True)
+
+    fold = run()
+    # folding actually engaged for this cost
+    assert fused_mod._const_zero_pattern(C, (T, 4, 4)) is not None
+    orig = fused_mod._const_zero_pattern
+    fused_mod._const_zero_pattern = lambda a, shape: None
+    try:
+        nofold = run()
+    finally:
+        fused_mod._const_zero_pattern = orig
+    np.testing.assert_allclose(np.asarray(fold.u), np.asarray(nofold.u),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fold.x), np.asarray(nofold.x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fold.costs),
+                               np.asarray(nofold.costs), rtol=1e-5)
+    # the accepted line-search alphas must not drift at all
+    assert np.array_equal(np.asarray(fold.alpha),
+                          np.asarray(nofold.alpha))
+
+    # and the folded kernel still matches the jnp path
+    ref = batched_solve(cfg, x0, QuadCost(C, c), dx,
+                        u_lower=-2.0, u_upper=2.0)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fold.u),
+                               atol=2e-5)
