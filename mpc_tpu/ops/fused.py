@@ -1068,7 +1068,8 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                       cost_mode='quad', soa_cost=None, n_cost_params=0,
                       cost_stream=False, dyn_stream=False,
                       soa_stream_step=None, soa_stream_jac=None,
-                      soa_stream_step_multi=None):
+                      soa_stream_step_multi=None,
+                      C_zero_ti=None, c_zero_ti=None):
     """Same solver as ``_make_kernel`` but with the horizon as a
     ``lax.fori_loop`` instead of a Python unroll, so T is bounded by the
     VMEM budget (see ``_long_vmem_bytes``) instead of Mosaic compile
@@ -1139,15 +1140,24 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
             cp.wait()
             return C_load(0)
 
-        def read_C(t):
+        def read_C(t, fold=False):
             # batched (non-SMEM) quadratic cost always streams in the
             # long kernel (fused_batched_solve sets cost_stream), so
-            # only the SMEM layout reaches here
-            return [[C_ref[t, i * ntau + j] for j in range(ntau)]
+            # only the SMEM layout reaches here.  ``fold=True`` bakes
+            # TIME-INVARIANT literal-zero entries (C_zero_ti - zero at
+            # EVERY t, so valid under the dynamic t index) as 0.0 for
+            # the _dotz/_addz folding sites; only the stage-cost path
+            # opts in, so no literal ever enters the Riccati fori
+            # carries (see read_cost_data).
+            return [[(0.0 if fold and C_zero_ti is not None
+                      and C_zero_ti[i][j]
+                      else C_ref[t, i * ntau + j]) for j in range(ntau)]
                     for i in range(ntau)]
 
-        def read_c(t):
-            return [c_ref[t, i] for i in range(ntau)]
+        def read_c(t, fold=False):
+            return [(0.0 if fold and c_zero_ti is not None
+                     and c_zero_ti[i] else c_ref[t, i])
+                    for i in range(ntau)]
 
         def read_bounds(t):
             if bounds_smem:
@@ -1345,7 +1355,11 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
                 return None
             if cost_stream:
                 return read_Cc(t)
-            return read_C(t), read_c(t)
+            # stage-cost evaluations (the line-search trial rollouts'
+            # O(ntau^2)-per-t quadratic forms) fold time-invariant
+            # zeros; a diagonal C drops ~(ntau^2 - ntau)/ntau^2 of the
+            # products per stage per trial
+            return read_C(t, fold=True), read_c(t, fold=True)
 
         def stage_cost_from(data, xs, us):
             if cost_mode == 'soa':
@@ -2012,7 +2026,7 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         return a.reshape(a.shape[:-1] + (G, SUB, LANE))
 
     dummy_smem = jnp.zeros((1, 1), dtype)
-    C_zero = c_zero = None
+    C_zero = c_zero = C_zero_ti = c_zero_ti = None
 
     # ---- cost -------------------------------------------------------------
     if isinstance(cost, QuadCost):
@@ -2043,10 +2057,20 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                 # the SMEM path produces a runtime inf
                 for i in range(nc):
                     C_zero[:, ns + i, ns + i] = False
+                # time-invariant reduction (zero at EVERY t) for the
+                # fori-loop kernel, whose dynamic t index can only bake
+                # patterns shared across the horizon
+                Cti = C_zero.all(axis=0)
+                if Cti.any():
+                    C_zero_ti = tuple(tuple(bool(v) for v in row)
+                                      for row in Cti)
                 C_zero = (None if not C_zero.any() else
                           tuple(tuple(tuple(bool(v) for v in row)
                                       for row in m) for m in C_zero))
             if c_zero is not None:
+                cti = c_zero.all(axis=0)
+                if cti.any():
+                    c_zero_ti = tuple(bool(v) for v in cti)
                 c_zero = tuple(tuple(bool(v) for v in row)
                                for row in c_zero)
             C = jnp.broadcast_to(Ca, (T, ntau, ntau)).reshape(
@@ -2257,7 +2281,8 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                             if dyn_mode == 'soa_stream' else None),
             soa_stream_step_multi=(
                 getattr(dynamics, 'soa_stream_step_multi', None)
-                if dyn_mode == 'soa_stream' else None))
+                if dyn_mode == 'soa_stream' else None),
+            C_zero_ti=C_zero_ti, c_zero_ti=c_zero_ti)
         extra = dict(
             scratch_shapes=scratch,
             # u0 aliases the u-output buffer (it IS the initial best_u),

@@ -432,3 +432,42 @@ def test_fused_zero_folding_equivalent():
                         u_lower=-2.0, u_upper=2.0)
     np.testing.assert_allclose(np.asarray(ref.u), np.asarray(fold.u),
                                atol=2e-5)
+
+
+def test_fused_zero_folding_long_kernel():
+    """Time-invariant literal-zero folding in the fori-loop kernel's
+    stage-cost path (read_cost_data folds entries of a shared concrete
+    cost that are zero at EVERY t): equivalent to the unspecialized
+    long kernel up to FMA-recontraction drift."""
+    from mpc_tpu.ops import fused as fused_mod
+
+    dx = PendulumDx(params=jnp.array([10., 1., 1.], jnp.float32))
+    rng = np.random.RandomState(9)
+    B, T = 32, 132                      # T > 128 routes the long kernel
+    th = np.pi * (2 * rng.rand(B) - 1)
+    x0 = jnp.asarray(
+        np.stack([np.cos(th), np.sin(th), np.zeros(B)], 1), jnp.float32)
+    q, p = dx.get_true_obj()
+    C = jnp.diag(q).astype(jnp.float32)
+    c = jnp.asarray(p, jnp.float32)
+    cfg = _cfg(T)
+
+    def run():
+        return fused_batched_solve(cfg, x0, QuadCost(C, c), dx,
+                                   u_lower=jnp.float32(-2.0),
+                                   u_upper=jnp.float32(2.0),
+                                   interpret=True)
+
+    fold = run()
+    orig = fused_mod._const_zero_pattern
+    fused_mod._const_zero_pattern = lambda a, shape: None
+    try:
+        nofold = run()
+    finally:
+        fused_mod._const_zero_pattern = orig
+    np.testing.assert_allclose(np.asarray(fold.u), np.asarray(nofold.u),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fold.costs),
+                               np.asarray(nofold.costs), rtol=1e-5)
+    assert np.array_equal(np.asarray(fold.alpha),
+                          np.asarray(nofold.alpha))
