@@ -198,9 +198,11 @@ def bench_goal_tracking(B=2048, T=20):
     vectors c [T, B, ntau] (each scenario tracks its own reference
     trajectory) - the canonical batched goal-tracking workload.  The
     reference broadcasts C and c independently (mpc/mpc.py:205-226), so
-    this mixed pair is valid reference input; the fused path normalizes
-    it to the batched layout at dispatch (ops/fused.py:
-    _normalize_mixed_layouts).  Reports fused and jnp side by side."""
+    this mixed pair is valid reference input; the short fused kernel
+    runs it SPLIT - shared C on SMEM, per-example c as a blocked VMEM
+    operand (ops/fused.py:_layout_flags; round-5 A/B: +5.6% vs the old
+    broadcast, bitwise-equal outputs, and no [T, B, ntau, ntau] HBM
+    materialization).  Reports fused and jnp side by side."""
     import dataclasses
 
     import jax

@@ -96,10 +96,12 @@ def sweep_pendulum_uzero_batched():
 
 
 def sweep_mixed_cost_layout():
-    """Shared C + per-example c (mixed layouts normalize to batched at
-    dispatch, ops/fused.py:_normalize_mixed_layouts).  Also pins that
-    the mixed solve is BITWISE identical to the pre-broadcast fused
-    solve, so the fused-vs-jnp gate only sees the usual f32 tail."""
+    """Shared C + per-example c (round 5: the short kernel runs the
+    mixed pair SPLIT - C on SMEM with literal-zero folding, c as a
+    blocked VMEM operand; ops/fused.py:_layout_flags).  Also pins the
+    mixed solve against the fully-broadcast fused solve: observed
+    bitwise-equal on the Mosaic path, gated at ulp scale (1e-6)
+    because the folding may recontract FMA chains."""
     rng = np.random.RandomState(9)
     x0 = _pend_x0(rng)
     dx = PendulumDx()
@@ -119,8 +121,11 @@ def sweep_mixed_cost_layout():
              lambda cfg_: run(cfg_, C), tol_mean=3e-4)
     u_mixed = np.asarray(run(cfg, C))
     u_bcast = np.asarray(run(cfg, jnp.broadcast_to(C, (20, B, 4, 4))))
-    assert (u_mixed == u_bcast).all(), 'mixed != broadcast bitwise'
-    print('[mixed cost layout] bitwise == fully-broadcast fused')
+    derr = np.abs(u_mixed - u_bcast).max()
+    assert derr <= 1e-6, f'mixed vs broadcast max|du| = {derr:.2e}'
+    print(f'[mixed cost layout] split vs fully-broadcast fused '
+          f'max|du| = {derr:.2e}'
+          + (' (bitwise)' if derr == 0 else ''))
 
 
 def sweep_pendulum_slew():

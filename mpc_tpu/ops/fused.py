@@ -241,7 +241,8 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
 
 def _short_blocked_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem,
                               bounds_smem, uz_smem, has_uz, has_bounds,
-                              has_f, lindx, multi_tile=True):
+                              has_f, lindx, multi_tile=True,
+                              c_batched=False):
     """Scoped-VMEM footprint (bytes) of the UNROLLED kernel's blocked
     operands.  Unlike the fori-loop kernel, the short kernel takes
     batched per-t operands (C, c, F, f, bounds, u_zero_I) as
@@ -258,6 +259,9 @@ def _short_blocked_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem,
     blocked = ns + T * nc + T * ns + T * nc + 5   # x0, u0, xs, us, stats
     if not cost_smem:
         blocked += T * (ntau * ntau + ntau)
+    elif c_batched:
+        # split layout: C on SMEM, per-example c blocked in VMEM
+        blocked += T * ntau
     if lindx and not dyn_smem:
         blocked += (T - 1) * ns * ntau + ((T - 1) * ns if has_f else 0)
     if has_bounds and not bounds_smem:
@@ -283,14 +287,26 @@ def _short_fits(T, ns, nc, multi_tile, **layout) -> bool:
 
 def _layout_flags(cfg, cost, dynamics, u_lower, u_zero_I):
     """SMEM-vs-batched layout booleans shared by the dispatch gates
-    (mirrors fused_batched_solve's operand preparation)."""
+    (mirrors fused_batched_solve's operand preparation).
+
+    A MIXED QuadCost with shared C and per-example c (the reference's
+    independent expandParam broadcasts, mpc/util.py:21-27 - e.g.
+    shared weights + per-example goal vectors) runs the short kernel in
+    a SPLIT layout: C stays on SMEM (keeping the literal-zero folding
+    and skipping the [T, B, ntau, ntau] broadcast entirely) while c is
+    a blocked VMEM operand (``c_batched=True``).  When the problem
+    routes to the fori-loop kernel instead (T, volume, params, or the
+    blocked-VMEM budget), the pair resolves to fully batched -
+    _normalize_mixed_layouts broadcasts C - so the long-kernel gates
+    here stay accurate.
+    """
     lindx = isinstance(dynamics, LinDx)
-    # a mixed shared/batched pair is normalized to fully batched at
-    # dispatch (_normalize_mixed_layouts), so it gates as batched here
-    return dict(
-        cost_smem=(not isinstance(cost, QuadCost)
-                   or (getattr(cost.C, 'ndim', 0) < 4
-                       and getattr(cost.c, 'ndim', 0) < 3)),
+    is_qc = isinstance(cost, QuadCost)
+    C_shared = not is_qc or getattr(cost.C, 'ndim', 0) < 4
+    c_shared = not is_qc or getattr(cost.c, 'ndim', 0) < 3
+    flags = dict(
+        cost_smem=C_shared and c_shared,
+        c_batched=False,
         dyn_smem=(lindx and getattr(dynamics.F, 'ndim', 0) == 3
                   and (dynamics.f is None
                        or getattr(dynamics.f, 'ndim', 0) == 2)),
@@ -300,6 +316,38 @@ def _layout_flags(cfg, cost, dynamics, u_lower, u_zero_I):
         has_bounds=u_lower is not None,
         has_f=lindx and dynamics.f is not None,
         lindx=lindx)
+    if is_qc and C_shared and not c_shared:
+        split = dict(flags, cost_smem=True, c_batched=True)
+        if _split_routes_short(cfg, dynamics, split):
+            flags = split
+    return flags
+
+
+def _split_routes_short(cfg, dynamics, split_flags):
+    """Whether a split-layout (shared-C / batched-c) problem is certain
+    to run the UNROLLED kernel.  Mirrors the short-vs-long routing in
+    fused_batched_solve / supports(); conservatively assumes the
+    multi-tile VMEM regime, so a kept split always fits the actual
+    grid.  Streaming / param-heavy SoA dynamics route long, so they
+    disqualify the split; so does a slew-rate penalty (the host-side
+    augmentation in _fused_slew_solve builds the augmented cost from a
+    layout-matched pair - the recursive solve re-resolves the augmented
+    cost's own layout)."""
+    if cfg.slew_rate_penalty is not None:
+        return False
+    n_dyn_p = 0
+    if not isinstance(dynamics, LinDx) and _is_soa(dynamics):
+        n_dyn_p = _soa_param_count(dynamics)
+        if _dyn_streams(dynamics, n_dyn_p):
+            return False
+    ns_eff = cfg.n_state + (cfg.n_ctrl if cfg.slew_rate_penalty
+                            is not None else 0)
+    ntau = ns_eff + cfg.n_ctrl
+    return (cfg.T <= 128
+            and n_dyn_p <= _UNROLL_PARAM_LIMIT
+            and cfg.T * ntau ** 3 <= _UNROLL_VOLUME_LIMIT
+            and _short_fits(cfg.T, ns_eff, cfg.n_ctrl, True,
+                            **split_flags))
 
 
 def _long_fits(cfg, cost, dynamics, u_lower, u_zero_I,
@@ -563,7 +611,7 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
                  delta_u=None, cost_smem=False, bounds_smem=False,
                  dyn_smem=False, has_uz=False, uz_smem=False,
                  cost_mode='quad', soa_cost=None, n_cost_params=0,
-                 C_zero=None, c_zero=None):
+                 C_zero=None, c_zero=None, c_batched=False):
     ntau = ns + nc
     alphas = [linesearch_decay ** k for k in range(max_linesearch_iter)]
 
@@ -585,9 +633,16 @@ def _make_kernel(*, T, ns, nc, has_bounds, dyn_mode, soa_step, n_params,
             C = [[[(0.0 if C_zero is not None and C_zero[t][i][j]
                     else C_ref[t, i * ntau + j]) for j in range(ntau)]
                   for i in range(ntau)] for t in range(T)]
-            c = [[(0.0 if c_zero is not None and c_zero[t][i]
-                   else c_ref[t, i]) for i in range(ntau)]
-                 for t in range(T)]
+            if c_batched:
+                # split layout (shared C + per-example c, the
+                # goal-tracking shape): c rides a blocked VMEM operand
+                # like the fully-batched path
+                c = [[c_ref[t, i, 0] for i in range(ntau)]
+                     for t in range(T)]
+            else:
+                c = [[(0.0 if c_zero is not None and c_zero[t][i]
+                       else c_ref[t, i]) for i in range(ntau)]
+                     for t in range(T)]
         else:
             C = [[[C_ref[t, i, j, 0] for j in range(ntau)]
                   for i in range(ntau)] for t in range(T)]
@@ -1869,7 +1924,11 @@ def _make_kernel_long(*, T, ns, nc, has_bounds, dyn_mode, soa_step,
 
 def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
                      uz_smem, has_uz, has_bounds, has_f, lindx,
-                     multi_tile=True):
+                     multi_tile=True, c_batched=False):
+    # c_batched (the short kernel's split cost layout) never reaches the
+    # long kernel: _layout_flags resolves a mixed pair to fully batched
+    # whenever the problem routes long, so the flag is accepted for
+    # signature compatibility and ignored here
     """Conservative VMEM estimate (bytes) for the long-horizon kernel:
     per-t lane tiles for u0+outputs+scratch plus any batched (VMEM)
     operands, plus the Riccati body's LIVE REGISTERS (V, Qt, the
@@ -1947,31 +2006,41 @@ _UNROLL_PARAM_LIMIT = 64
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
-def _normalize_mixed_layouts(cfg, cost, dynamics, B):
+def _normalize_mixed_layouts(cfg, cost, dynamics, B,
+                             u_lower=None, u_zero_I=None):
     """Broadcast MIXED shared/batched QuadCost / LinDx pairs to the
-    fully-batched layout.
+    fully-batched layout - EXCEPT the shared-C / batched-c QuadCost
+    direction when the short kernel can run it split.
 
     The reference broadcasts every cost/dynamics leaf independently
     (mpc/mpc.py:205-226; util.expandParam, mpc/util.py:21-27), so C may
     be batch-shared while c is per-example (shared weights +
     per-example goals) and F shared while f is batched.  The kernel
-    keys its SMEM-vs-VMEM layout per PAIR, so a mixed pair is resolved
-    to batched: the batched leaf already forces the VMEM/streaming
-    path, the broadcast only adds layout, not information.  Both-shared
-    pairs are untouched and keep the SMEM fast path.
+    keys most layouts per PAIR, so a mixed pair is resolved to batched:
+    the batched leaf already forces the VMEM/streaming path, the
+    broadcast only adds layout, not information.  The one exception is
+    the canonical goal-tracking shape (shared C, per-example c) on the
+    unrolled kernel, which reads C from SMEM (with literal-zero
+    folding) and c as a blocked VMEM operand (``c_batched`` in
+    _layout_flags) - no [T, B, ntau, ntau] broadcast at all.
+    Both-shared pairs are untouched and keep the full SMEM fast path.
     """
     T, ns, nc = cfg.T, cfg.n_state, cfg.n_ctrl
     ntau = ns + nc
     if isinstance(cost, QuadCost):
         C, c = jnp.asarray(cost.C), jnp.asarray(cost.c)
         if (C.ndim == 4) != (c.ndim == 3):
-            if C.ndim < 4:
+            if C.ndim < 4 and _layout_flags(
+                    cfg, cost, dynamics, u_lower, u_zero_I)['c_batched']:
+                pass          # split layout: dispatch keeps C shared
+            elif C.ndim < 4:
                 C = C[None, None] if C.ndim == 2 else C[:, None]
                 C = jnp.broadcast_to(C, (T, B, ntau, ntau))
+                cost = QuadCost(C, c)
             else:
                 c = c[None, None] if c.ndim == 1 else c[:, None]
                 c = jnp.broadcast_to(c, (T, B, ntau))
-            cost = QuadCost(C, c)
+                cost = QuadCost(C, c)
     if isinstance(dynamics, LinDx) and dynamics.f is not None:
         F, f = jnp.asarray(dynamics.F), jnp.asarray(dynamics.f)
         if (F.ndim == 4) != (f.ndim == 3):
@@ -1995,8 +2064,9 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
     mixed shared/batched pairs are normalized to batched.
     Returns a batched Solution (out_axes matching the vmapped path).
     """
-    cost, dynamics = _normalize_mixed_layouts(cfg, cost, dynamics,
-                                              x_init.shape[0])
+    cost, dynamics = _normalize_mixed_layouts(
+        cfg, cost, dynamics, x_init.shape[0],
+        u_lower=u_lower, u_zero_I=u_zero_I)
     if cfg.slew_rate_penalty is not None:
         # slew + non-quadratic cost is rejected upstream (supports();
         # reference mpc/mpc.py:451-457)
@@ -2036,6 +2106,10 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         Ca = jnp.asarray(cost.C, dtype)
         ca = jnp.asarray(cost.c, dtype)
         cost_smem = Ca.ndim < 4
+        # split layout: _normalize_mixed_layouts kept a shared C with a
+        # per-example c because the short kernel runs it split (C on
+        # SMEM + folding, c as a blocked VMEM operand)
+        c_batched = cost_smem and ca.ndim == 3
         if cost_smem:
             # Trace-time zero patterns of CONCRETE shared costs (the
             # closure-constant case - jitting over x_init with a fixed
@@ -2049,7 +2123,8 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
             # or a jit that takes the cost as an ARGUMENT the leaves
             # are tracers and the patterns stay None.
             C_zero = _const_zero_pattern(cost.C, (T, ntau, ntau))
-            c_zero = _const_zero_pattern(cost.c, (T, ntau))
+            c_zero = (None if c_batched else
+                      _const_zero_pattern(cost.c, (T, ntau)))
             if C_zero is not None:
                 # never bake the control-block diagonal: a literal-zero
                 # Quu diagonal would fold 1/Quu (and the in-kernel
@@ -2075,9 +2150,13 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                                for row in c_zero)
             C = jnp.broadcast_to(Ca, (T, ntau, ntau)).reshape(
                 T, ntau * ntau)
-            c = jnp.broadcast_to(ca, (T, ntau))
             C_spec = _smem((T, ntau * ntau))
-            c_spec = _smem((T, ntau))
+            if c_batched:
+                c = prep(ca, 1)
+                c_spec = _vmem((T, ntau, 1, SUB, LANE), 2)
+            else:
+                c = jnp.broadcast_to(ca, (T, ntau))
+                c_spec = _smem((T, ntau))
         else:
             C = prep(Ca, 1)                # [T, ntau, ntau, G, 8, 128]
             c = prep(ca, 1)
@@ -2091,6 +2170,7 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         soa_cost_fn = cost.soa_cost
         cplist = list(cost.soa_params())
         cost_smem = True
+        c_batched = False
         C = c = dummy_smem
         C_spec = c_spec = _smem((1, 1))
 
@@ -2228,7 +2308,13 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
                         dyn_smem=dyn_smem, bounds_smem=bounds_smem,
                         uz_smem=uz_smem, has_uz=has_uz,
                         has_bounds=has_bounds, has_f=has_f,
-                        lindx=dyn_mode == 'lindx'))
+                        lindx=dyn_mode == 'lindx',
+                        c_batched=c_batched))
+    # _normalize_mixed_layouts only keeps the split layout when
+    # _split_routes_short proves the unrolled route (conservative
+    # multi-tile check), so a split operand set can never reach the
+    # fori-loop kernel, which has no split support
+    assert not (c_batched and long_horizon)
     extra = {}
     if long_horizon:
         scratch = [
@@ -2297,7 +2383,8 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
         # streaming models always exceed _UNROLL_PARAM_LIMIT and route
         # long; the unrolled kernel has no streaming path
         assert dyn_mode != 'soa_stream'
-        kernel = _make_kernel(**common, C_zero=C_zero, c_zero=c_zero)
+        kernel = _make_kernel(**common, C_zero=C_zero, c_zero=c_zero,
+                              c_batched=c_batched)
 
     xs, us, stats = pl.pallas_call(
         kernel,

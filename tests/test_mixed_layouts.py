@@ -74,16 +74,63 @@ def test_supports_admits_mixed_quadcost():
     assert supports(_cfg(T), QuadCost(Cb, cs), dx, n_batch=B)
 
 
-def test_fused_mixed_cost_identical_to_broadcast():
-    """Mixed-layout fused solve == fully-broadcast fused solve BITWISE
-    (dispatch normalization produces the same operands), and both match
-    the jnp path."""
+def test_fused_mixed_cost_split_matches_broadcast():
+    """Mixed-layout fused solve (round 5: the SHORT kernel runs it
+    SPLIT - shared C on SMEM with literal-zero folding, per-example c
+    as a blocked VMEM operand, no [T, B, ntau, ntau] broadcast) must
+    match the fully-broadcast fused solve to f32 reassociation and the
+    jnp path to the usual cross-implementation bound."""
+    from mpc_tpu.ops import fused as fused_mod
     T, B = 6, 16
     dx, x0 = _pendulum(B)
     rng = np.random.RandomState(0)
     C, c = _goal_cost(T, B, 4, rng)
     cfg = _cfg(T)
     lb, ub = jnp.float32(-2.0), jnp.float32(2.0)
+
+    # the split path actually engages for this shape
+    flags = fused_mod._layout_flags(cfg, QuadCost(C, c), dx, lb, None)
+    assert flags['cost_smem'] and flags['c_batched']
+
+    mixed = fused_batched_solve(cfg, x0, QuadCost(C, c), dx,
+                                u_lower=lb, u_upper=ub, interpret=True)
+    Cb = jnp.broadcast_to(C, (T, B, 4, 4))
+    full = fused_batched_solve(cfg, x0, QuadCost(Cb, c), dx,
+                               u_lower=lb, u_upper=ub, interpret=True)
+    # SMEM-C vs VMEM-C reduction orders differ at f32 roundoff only
+    np.testing.assert_allclose(np.asarray(mixed.u), np.asarray(full.u),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(mixed.x), np.asarray(full.x),
+                               atol=5e-5)
+
+    ref = batched_solve(cfg, x0, QuadCost(C, c), dx,
+                        u_lower=lb, u_upper=ub)
+    # fused(interpret)-vs-jnp is an f32 cross-implementation bound
+    # whose constant depends on the HOST's XLA:CPU codegen (round 4:
+    # a machine change moved the worst entry 2e-5 -> 8e-5 at identical
+    # code).  The hardware bound is pinned by
+    # hw_sweep.sweep_mixed_cost_layout.
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(mixed.u),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(ref.costs),
+                               np.asarray(mixed.costs), rtol=1e-4)
+
+
+def test_fused_mixed_cost_long_route_broadcasts_bitwise():
+    """On the fori-loop route (T > 128) the split layout is disallowed
+    and _normalize_mixed_layouts broadcasts the shared C - producing
+    operands IDENTICAL to the pre-broadcast problem, so the solves
+    match bitwise."""
+    from mpc_tpu.ops import fused as fused_mod
+    T, B = 132, 16
+    dx, x0 = _pendulum(B)
+    rng = np.random.RandomState(0)
+    C, c = _goal_cost(T, B, 4, rng)
+    cfg = _cfg(T, lqr_iter=2, max_linesearch_iter=2)
+    lb, ub = jnp.float32(-2.0), jnp.float32(2.0)
+
+    flags = fused_mod._layout_flags(cfg, QuadCost(C, c), dx, lb, None)
+    assert not flags['c_batched']
 
     mixed = fused_batched_solve(cfg, x0, QuadCost(C, c), dx,
                                 u_lower=lb, u_upper=ub, interpret=True)
@@ -92,18 +139,6 @@ def test_fused_mixed_cost_identical_to_broadcast():
                                u_lower=lb, u_upper=ub, interpret=True)
     np.testing.assert_array_equal(np.asarray(mixed.u), np.asarray(full.u))
     np.testing.assert_array_equal(np.asarray(mixed.x), np.asarray(full.x))
-
-    ref = batched_solve(cfg, x0, QuadCost(C, c), dx,
-                        u_lower=lb, u_upper=ub)
-    # fused(interpret)-vs-jnp is an f32 cross-implementation bound
-    # whose constant depends on the HOST's XLA:CPU codegen (round 4:
-    # a machine change moved the worst entry 2e-5 -> 8e-5 at identical
-    # code; the layout identity above stays bitwise).  The hardware
-    # bound is pinned by hw_sweep.sweep_mixed_cost_layout.
-    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(mixed.u),
-                               atol=3e-4)
-    np.testing.assert_allclose(np.asarray(ref.costs),
-                               np.asarray(mixed.costs), rtol=1e-4)
 
 
 def test_fused_mixed_lindx_matches_jnp():
