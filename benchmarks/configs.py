@@ -111,14 +111,16 @@ def bench_medium_state(B=2048, T=20):
       fori-loop kernel's hardware-calibrated body/VMEM budgets
       (ops/fused.py _BODY_VOLUME_LIMIT/_LONG_T_VMEM_LIMIT_MULTI) -
       the fused path, ~10x the jnp path.
-    - 19s/4c (ntau=23, the single-tile ceiling) at B=1024: fused at
-      G=1; at G>1 Mosaic double-buffers the blocked operands and this
-      shape OOMs the 16MB VMEM stack (observed 17.54M), so B>1024
-      correctly routes to the XLA path.
-    - 24s/4c (ntau=28): beyond the kernel's budgets at any batch - the
-      XLA fallback, whose PNQP Newton systems and masked Riccati gain
-      solves go through linalg.solve_spd's unrolled Cholesky (batched
-      pivoted LU is ~10-17x slower on TPU for these tiny systems).
+    - 19s/4c (ntau=23) at B=1024: fused at G=1; at G>1 Mosaic
+      double-buffers the blocked operands past the multi-tile VMEM
+      limit, so B>1024 routes to the XLA path.
+    - 24s/4c (ntau=28, the round-5 body-gate ceiling) at B=1024:
+      fused single-tile (~5x the jnp path; round-5 boundary
+      validation); its multi-tile estimate exceeds the VMEM limit, so
+      B>1024 runs the XLA fallback, whose PNQP Newton systems and
+      masked Riccati gain solves go through linalg.solve_spd's
+      unrolled Cholesky (batched pivoted LU is ~10-17x slower on TPU
+      for these tiny systems) - reported at both batch regimes.
     """
     import jax
     import jax.numpy as jnp
@@ -130,6 +132,7 @@ def bench_medium_state(B=2048, T=20):
     rng = np.random.RandomState(3)
     for n_state, n_ctrl, Bi, path in [(16, 4, B, 'fused'),
                                       (19, 4, min(B, 1024), 'fused'),
+                                      (24, 4, min(B, 1024), 'fused'),
                                       (24, 4, B, 'jnp')]:
         n_sc = n_state + n_ctrl
         A = np.eye(n_state) + 0.01 * rng.randn(n_state, n_state)

@@ -92,11 +92,15 @@ def main(n_state=20, n_ctrl=4, B=1024, T=20):
     rel = np.max(np.abs(u_fused - u_jnp) / denom)
     print(f'  max |du| = {err:.3e}, max rel = {rel:.3e}')
     # self-judging: a silently-wrong kernel at the probed boundary must
-    # fail loudly, not just print numbers into a log
-    if not (rel < 1e-3):
-        print(f'  FAIL: max rel {rel:.3e} >= 1e-3')
+    # fail loudly, not just print numbers into a log.  The bound is
+    # ABSOLUTE at the mutual-f32-divergence scale: at medium ntau both
+    # f32 paths drift ~1.6e-4 from the f64 oracle EQUALLY (round-5
+    # probe28_analysis: jnp 1.37e-4 vs fused 1.38e-4 max), so a
+    # relative criterion with a small-|u| floor flags correct kernels.
+    if not (err < 5e-4 or rel < 1e-3):
+        print(f'  FAIL: max |du| {err:.3e} >= 5e-4 (and rel >= 1e-3)')
         sys.exit(1)
-    print('  OK (rel < 1e-3)')
+    print('  OK (|du| within the mutual f32 divergence bound)')
 
 
 if __name__ == '__main__':

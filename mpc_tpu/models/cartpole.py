@@ -139,3 +139,14 @@ class CartpoleDx:
         obj = cls.__new__(cls)
         obj.params = children[0]
         return obj
+
+
+if __name__ == '__main__':
+    # render a swing-up mp4, like the reference env's __main__
+    # (mpc/env_dx/cartpole.py:98-152); the full demo lives in
+    # examples/cartpole_swingup.py
+    import runpy
+    import os
+    runpy.run_path(os.path.join(os.path.dirname(__file__), '..', '..',
+                                'examples', 'cartpole_swingup.py'),
+                   run_name='__main__')

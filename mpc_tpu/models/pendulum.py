@@ -141,3 +141,14 @@ class PendulumDx:
         obj.params = children[0]
         obj.simple = aux[0]
         return obj
+
+
+if __name__ == '__main__':
+    # render a swing-up mp4, like the reference env's __main__
+    # (mpc/env_dx/pendulum.py:117-141); the full demo lives in
+    # examples/pendulum_swingup.py
+    import runpy
+    import os
+    runpy.run_path(os.path.join(os.path.dirname(__file__), '..', '..',
+                                'examples', 'pendulum_swingup.py'),
+                   run_name='__main__')

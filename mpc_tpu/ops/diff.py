@@ -32,7 +32,8 @@ ACTIVE_TOL = 1e-8
 
 
 def make_lqr_fixed_point(n_state: int, has_bounds: bool, has_f: bool,
-                         parallel: bool = False):
+                         parallel: bool = False,
+                         precision: str = 'float32'):
     """Build the custom-VJP fixed-point function for a given problem shape.
 
     Returns a function
@@ -44,6 +45,16 @@ def make_lqr_fixed_point(n_state: int, has_bounds: bool, has_f: bool,
     matching the reference Function's signature (mpc/lqr_step.py:407).
     ``x_star``/``u_star`` are expected to be stop-gradient'd outputs of
     the non-differentiable iterative phase.
+
+    ``precision`` pins the matmul precision of the BACKWARD trace.  A
+    ``jax.default_matmul_precision`` context around the solve call does
+    NOT reach here: a custom_vjp's bwd is traced during the backward
+    sweep, after any caller-side context has exited, so its dot_generals
+    would bind at TPU's bf16 default.  Measured at 20s/4c T=10 (round
+    5): leaked-bf16 gradients sit 2.6e-4 (rel) from the f64 oracle vs
+    9e-8 with the precision pinned here - the forward path was always
+    safe because its primitives bind (and record their precision)
+    inside the solver's context.
     """
 
     @jax.custom_vjp
@@ -55,6 +66,10 @@ def make_lqr_fixed_point(n_state: int, has_bounds: bool, has_f: bool,
         return (x_star, u_star), res
 
     def bwd(res, g):
+        with jax.default_matmul_precision(precision):
+            return _bwd_body(res, g)
+
+    def _bwd_body(res, g):
         C, c, F, u_lower, u_upper, x_star, u_star = res
         dl_dx, dl_du = g
         T = c.shape[0]

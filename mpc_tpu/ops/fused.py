@@ -100,18 +100,24 @@ _MAX_STREAM_PARAMS = 16384
 # lqr_iter=3): ntau=4 compiles in ~28s, ntau=7 ~80s, ntau=13 exceeds
 # 7 minutes on the short kernel.  Problems whose T * ntau^3 exceeds
 # _UNROLL_VOLUME_LIMIT route through the fori-loop kernel; above
-# _BODY_VOLUME_LIMIT (ntau > 23) even the once-traced body is too
+# _BODY_VOLUME_LIMIT (ntau > 28) even the once-traced body is too
 # large and dispatch falls back to the XLA path, whose batched linalg
 # handles medium-size matrices without per-scalar unrolling.  The body
 # limit is hardware-calibrated: ntau=20 (16s/4c, T=20) compiles in ~18s
 # and runs 10.7x the jnp path; ntau=22 (18s/4c) in ~71s at 213k
 # solves/s (B=1024) and ntau=23 (19s/4c) in ~92s at 200k solves/s,
-# both exactly matching the jnp path; ntau=24 exceeds Mosaic's 16MB
-# VMEM stack (the _long_vmem_bytes body-register term tracks that
-# boundary - the VMEM gate, not this one, is what rejects ntau=24
-# at T=20).
+# both exactly matching the jnp path.  Round 5 (probe_ntau24 with the
+# 40MB scoped stack): ntau=24 (20s/4c, was the round-3 OOM on the
+# DEFAULT 16MB stack) compiles in ~20s and runs 5.7x the jnp path at
+# B=1024, 8.9x at B=2050 (G=3); ntau=26 (22s/4c) ~24s, 4.8x; ntau=28
+# (24s/4c) ~45s, 5.1x.  Fused-vs-jnp differences at these dims are
+# ~1.6e-4 max - MUTUAL f32 iterate divergence, not kernel error: both
+# paths sit equidistant (1.37e-4 vs 1.38e-4 max) from the f64 oracle.
+# Past ntau=28 the VMEM gate takes over anyway (ntau=29 at T=20
+# estimates ~19MB single-tile); the body gate stays as the
+# compile-time backstop at the validated ntau<=28.
 _UNROLL_VOLUME_LIMIT = 8_000    # T * ntau^3 budget, unrolled kernel
-_BODY_VOLUME_LIMIT = 12_167    # ntau^3 budget, fori-loop kernel body (ntau<=23)
+_BODY_VOLUME_LIMIT = 21_952    # ntau^3 budget, fori-loop kernel body (ntau<=28)
 
 
 def _dyn_streams(dynamics, n_dyn_p):
@@ -1948,12 +1954,15 @@ def _long_vmem_bytes(T, ns, nc, *, cost_smem, dyn_smem, bounds_smem,
     B=2048 (observed 17.54M).  Callers that don't know the batch size
     must assume multi_tile.
 
-    The body-register term is calibrated against the observed Mosaic
-    stack boundary: ntau=20/22/23 (16s/4c, 18s/4c, 19s/4c at T=20,
-    shared LinDx box) lower and run at G=1; ntau=24 (20s/4c, estimate
-    14.62MB) overflows the 16MB stack by ~4KB.  _LONG_T_VMEM_LIMIT /
-    _LONG_T_VMEM_LIMIT_MULTI sit between the validated-admitted and
-    observed-OOM estimates of their regime.
+    The body-register term was calibrated against the observed Mosaic
+    stack boundary on the DEFAULT 16MB stack: ntau=20/22/23 (16s/4c,
+    18s/4c, 19s/4c at T=20, shared LinDx box) lowered and ran at G=1
+    while ntau=24 (20s/4c, estimate 14.62MB) overflowed it by ~4KB.
+    With the 40MB stack request (round 4) the estimates stay the
+    yardstick: round-5 boundary validation ran 20s/4c at G=1 AND G=3
+    (est 16.50MB multi), 22s/4c and 24s/4c at G=1 (est 16.31/18.06MB).
+    _LONG_T_VMEM_LIMIT / _LONG_T_VMEM_LIMIT_MULTI sit between the
+    validated-admitted and rejected estimates of their regime.
     """
     ntau = ns + nc
     tiles = 2 * ns + 2 * nc + nc * ns + nc   # xout,x + uout(=u0),u + K,k

@@ -479,7 +479,8 @@ def fixed_point_phase(cfg: MPCConfig, x_init, cost, dynamics,
         has_f = f is not None
         fp = make_lqr_fixed_point(
             n_state=ns, has_bounds=u_lower is not None, has_f=has_f,
-            parallel=cfg.parallel_riccati)
+            parallel=cfg.parallel_riccati,
+            precision=cfg.matmul_precision)
         f_arr = f if has_f else jnp.zeros((T - 1, ns), dtype)
         lb = u_lower if u_lower is not None else jnp.zeros((T, nc), dtype)
         ub = u_upper if u_upper is not None else jnp.zeros((T, nc), dtype)
@@ -490,7 +491,8 @@ def fixed_point_phase(cfg: MPCConfig, x_init, cost, dynamics,
         has_f = sp.f is not None
         fp = make_lqr_fixed_point(
             n_state=ns + nc, has_bounds=u_lower is not None, has_f=has_f,
-            parallel=cfg.parallel_riccati)
+            parallel=cfg.parallel_riccati,
+            precision=cfg.matmul_precision)
         f_arr = sp.f if has_f else jnp.zeros((T - 1, ns + nc), dtype)
         lb = u_lower if u_lower is not None else jnp.zeros((T, nc), dtype)
         ub = u_upper if u_upper is not None else jnp.zeros((T, nc), dtype)

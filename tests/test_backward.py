@@ -206,3 +206,60 @@ def test_backward_nn_dynamics_param_grads():
 def test_backward_nn_dynamics_param_grads_slew():
     # reference tests/test_mpc.py:652-744
     _check_nn_grads(slew=1.0)
+
+
+def test_kkt_backward_pins_matmul_precision():
+    """The custom_vjp KKT backward must bind its dot_generals with an
+    EXPLICIT precision: a jax.default_matmul_precision context around
+    the solve call does not reach the bwd trace (it runs during the
+    backward sweep, after the context exits), so without the internal
+    pin the backward executes at TPU's bf16 default.  Round-5 hardware
+    measurement at 20s/4c T=10: leaked gradients 2.6e-4 (rel) from the
+    f64 oracle vs 9e-8 pinned.  This traces the grad on CPU and walks
+    the jaxpr: every dot_general in the backward must carry a
+    non-default precision."""
+    import jax
+    import jax.numpy as jnp
+    from mpc_tpu import MPCConfig, QuadCost, LinDx, GradMethods
+    from mpc_tpu.learning import batched_solve
+
+    ns, nc, T, B = 4, 2, 4, 3
+    ntau = ns + nc
+    rng = np.random.RandomState(0)
+    F = jnp.asarray(np.tile(np.concatenate(
+        [np.eye(ns), 0.3 * rng.randn(ns, nc)], 1)[None],
+        (T - 1, 1, 1)), jnp.float32)
+    C = jnp.asarray(np.eye(ntau), jnp.float32)
+    c = jnp.asarray(0.1 * rng.randn(ntau), jnp.float32)
+    x0 = jnp.asarray(rng.randn(B, ns), jnp.float32)
+    cfg = MPCConfig(n_state=ns, n_ctrl=nc, T=T, lqr_iter=2,
+                    grad_method=GradMethods.ANALYTIC, eps=0.0,
+                    exit_unconverged=False, detach_unconverged=False,
+                    backprop=True, use_fused='never')
+
+    def loss(cv):
+        sol = batched_solve(cfg, x0, QuadCost(C, cv), LinDx(F, None))
+        return (sol.u ** 2).sum()
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss))(c)
+
+    def walk(jx, out):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == 'dot_general':
+                out.append(eqn.params.get('precision'))
+            for v in eqn.params.values():
+                if hasattr(v, 'jaxpr'):
+                    walk(v.jaxpr, out)
+                elif isinstance(v, (list, tuple)):
+                    for vi in v:
+                        if hasattr(vi, 'jaxpr'):
+                            walk(vi.jaxpr, out)
+        return out
+
+    precisions = walk(jaxpr.jaxpr, [])
+    assert precisions, 'no dot_generals found (trace shape changed?)'
+    n_default = sum(1 for p in precisions if p is None)
+    assert n_default == 0, (
+        f'{n_default}/{len(precisions)} dot_generals bind at DEFAULT '
+        '(bf16 on TPU) precision - the KKT backward precision pin '
+        '(ops/diff.py make_lqr_fixed_point) leaked')

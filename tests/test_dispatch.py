@@ -138,14 +138,16 @@ def _lindx_problem(ns, nc, T, B, dtype=jnp.float32):
 
 
 def test_supports_rejects_huge_state_dim():
-    """ntau > 23 exceeds the fori-loop kernel's hardware-calibrated
-    body budget (ops/fused.py:_BODY_VOLUME_LIMIT; ntau=24 overflows
-    Mosaic's 16MB VMEM stack): dispatch must fall back to the XLA
-    path instead of crashing the lowering."""
+    """ntau > 28 exceeds the fori-loop kernel's hardware-calibrated
+    body budget (ops/fused.py:_BODY_VOLUME_LIMIT, raised 23 -> 28 in
+    round 5 after the 40MB scoped-VMEM stack landed; 25s/4c+ compiles
+    superlinearly and the VMEM estimate passes 19MB right after):
+    dispatch must fall back to the XLA path instead of crashing the
+    lowering."""
     from mpc_tpu.ops import fused
 
-    dyn, cost, _ = _lindx_problem(24, 2, 10, 8)
-    cfg = MPCConfig(n_state=24, n_ctrl=2, T=10, lqr_iter=2,
+    dyn, cost, _ = _lindx_problem(28, 2, 10, 8)
+    cfg = MPCConfig(n_state=28, n_ctrl=2, T=10, lqr_iter=2,
                     grad_method=GradMethods.ANALYTIC, eps=0.0,
                     exit_unconverged=False, detach_unconverged=False,
                     backprop=False)

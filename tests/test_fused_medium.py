@@ -1,19 +1,21 @@
 """Medium-state (ntau > 16) problems through the fori-loop kernel.
 
-Round-3 change: the body-volume gate admits ntau <= 23 (was 16, then
-21) after hardware calibration - ntau=20 (16s/4c) compiles in ~18s on
-a v5e and runs 10.7x the jnp path, ntau=22 (18s/4c) in ~71s at 213k
-solves/s and ntau=23 (19s/4c) in ~92s at 200k solves/s (both exactly
-matching the jnp path at B=1024), while ntau=24 overflows Mosaic's
-16MB scoped VMEM stack by ~4KB.  These tests pin (a) interpret-mode
-equivalence of the kernel at a medium ntau, (b) the dispatch gates at
-the calibrated boundary so an estimator regression can't re-introduce
-the lowering OOM.  Hardware parity at G=3 (B=2050) is covered by
-benchmarks/hw_sweep.py.
+The body-volume gate grew by hardware calibration: ntau <= 23 in
+round 3 (against Mosaic's DEFAULT 16MB scoped stack, which ntau=24
+overflowed by ~4KB), then ntau <= 28 in round 5 once the 40MB stack
+request (round 4) removed that wall - 20s/4c runs 5.7x the jnp path at
+B=1024 and 8.9x at B=2050 (G=3), 22s/4c and 24s/4c run single-tile
+(4.8x/5.1x; their multi-tile VMEM estimates exceed the limit).  At
+these dims fused-vs-jnp differ by ~1.6e-4 max: MUTUAL f32 iterate
+divergence (both paths equidistant from the f64 oracle), not kernel
+error.  These tests pin (a) interpret-mode equivalence of the kernel
+at a medium ntau, (b) the dispatch gates at the calibrated boundary so
+an estimator regression can't re-introduce the lowering OOM.  Hardware
+parity at G=3 (B=2050) is covered by benchmarks/hw_sweep.py.
 
 Reference scope anchor: the reference solver is dimension-generic
 (mpc/mpc.py:70-105 takes any n_state/n_ctrl); the fused kernel covers
-ntau <= 23 and the XLA path (with linalg.solve_spd) covers the rest.
+ntau <= 28 and the XLA path (with linalg.solve_spd) covers the rest.
 """
 
 import dataclasses
@@ -93,15 +95,23 @@ def test_medium_dispatch_gates():
     # pass one get the conservative multi-tile answer.
     # round-4: with the raised scoped-VMEM stack (_LONG_SCOPED_VMEM)
     # the G>1 medium configs that OOM'd Mosaic's 16MB default are
-    # admitted (19s/4c at G=2 hardware-validated); 20s/4c stays out on
-    # the BODY-VOLUME (compile-time) gate, T=64 medium on VMEM
+    # admitted (19s/4c at G=2 hardware-validated); T=64 medium stays
+    # out on VMEM.  Round-5 (probe_ntau24 + validate_ntau_boundary on
+    # hardware): the body gate extends to ntau<=28 - 20s/4c runs at
+    # B=1024 (5.7x jnp) AND B=2050/G=3 (8.9x; multi est 16.50MB <=
+    # 17MB); 22s/4c and 24s/4c run single-tile (4.8x/5.1x) but their
+    # multi-tile estimates (18.3/20.3MB) exceed the multi limit;
+    # 25s/4c (ntau=29) stays out on the body gate.
     for ns, nc, T, B, expect in [
             (16, 4, 20, 1024, True), (18, 4, 20, 1024, True),
             (19, 4, 20, 1024, True), (16, 5, 20, 1024, True),
-            (20, 4, 20, 1024, False), (16, 4, 64, 1024, False),
+            (20, 4, 20, 1024, True), (16, 4, 64, 1024, False),
             (16, 4, 20, 2048, True), (18, 4, 20, 2048, True),
             (19, 4, 20, 2048, True), (16, 5, 20, 2048, True),
-            (19, 4, 20, None, True)]:
+            (19, 4, 20, None, True),
+            (20, 4, 20, 2048, True), (22, 4, 20, 1024, True),
+            (22, 4, 20, 2048, False), (24, 4, 20, 1024, True),
+            (24, 4, 20, 2048, False), (25, 4, 20, 1024, False)]:
         dyn, cost, x0 = _medium_problem(ns, nc, T, 8)
         cfg = _cfg(ns, nc, T)
         got = supports(cfg, cost, dyn, u_lower=jnp.float32(-1.0),
