@@ -533,7 +533,13 @@ def solve_flops(ns, nc, T, lqr_iter, ls_iter, dyn_flops=40):
     """Analytic FLOP count for ONE box-constrained iLQR solve (fused
     kernel arithmetic; same algebra as the jnp path).
 
-    Counts multiply-adds as 2 FLOPs.  Per outer iteration:
+    Counts multiply-adds as 2 FLOPs.  NOTE (round 5): for trace-time-
+    concrete shared costs the kernel's literal-zero folding DROPS the
+    zero-entry cost products from the emitted code (a diagonal C skips
+    ~3/4 of each quadratic form / cb row), so for the headline workload
+    this analytic count now OVERSTATES executed FLOPs by roughly the
+    folded cost terms and the achieved-TFLOPs figure is an upper bound
+    on the algebra, not the instruction stream.  Per outer iteration:
       * linearization: (T-1) JVP columns x (ns+nc) tangents;
       * Riccati per t: W = V F (2 ns^2 ntau), Qt symmetric assembly
         (ns (ntau^2+ntau)), qt (2 ns ntau), control solve (~closed-form
