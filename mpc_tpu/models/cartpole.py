@@ -144,9 +144,7 @@ class CartpoleDx:
 if __name__ == '__main__':
     # render a swing-up mp4, like the reference env's __main__
     # (mpc/env_dx/cartpole.py:98-152); the full demo lives in
-    # examples/cartpole_swingup.py
-    import runpy
-    import os
-    runpy.run_path(os.path.join(os.path.dirname(__file__), '..', '..',
-                                'examples', 'cartpole_swingup.py'),
-                   run_name='__main__')
+    # examples/cartpole_swingup.py (shipped in the repo, not the
+    # installed package)
+    from mpc_tpu.models import _run_example
+    _run_example('cartpole_swingup.py')

@@ -146,9 +146,7 @@ class PendulumDx:
 if __name__ == '__main__':
     # render a swing-up mp4, like the reference env's __main__
     # (mpc/env_dx/pendulum.py:117-141); the full demo lives in
-    # examples/pendulum_swingup.py
-    import runpy
-    import os
-    runpy.run_path(os.path.join(os.path.dirname(__file__), '..', '..',
-                                'examples', 'pendulum_swingup.py'),
-                   run_name='__main__')
+    # examples/pendulum_swingup.py (shipped in the repo, not the
+    # installed package)
+    from mpc_tpu.models import _run_example
+    _run_example('pendulum_swingup.py')

@@ -201,16 +201,9 @@ def supports(cfg, cost, dynamics, u_zero_I=None, prev_ctrl=None,
     if ntau ** 3 > _BODY_VOLUME_LIMIT:
         return False
     multi = n_batch is None or n_batch > SUB * LANE
-    long_kernel = (cfg.T > 128
-                   or n_dyn_p + n_cost_p > _UNROLL_PARAM_LIMIT
-                   or cfg.T * ntau ** 3 > _UNROLL_VOLUME_LIMIT
-                   # batched per-t operands past the unrolled kernel's
-                   # blocked-VMEM budget stream through the fori-loop
-                   # kernel instead (see _short_blocked_vmem_bytes)
-                   or not _short_fits(
-                       cfg.T, ns_eff, cfg.n_ctrl, multi,
-                       **_layout_flags(cfg, cost, dynamics, u_lower,
-                                       u_zero_I)))
+    long_kernel = _routes_long(
+        cfg.T, ns_eff, cfg.n_ctrl, n_dyn_p + n_cost_p, multi,
+        _layout_flags(cfg, cost, dynamics, u_lower, u_zero_I))
     return (
         # slew runs through the host-side state augmentation (see
         # fused_batched_solve); non-quadratic costs are out of scope
@@ -291,6 +284,22 @@ def _short_fits(T, ns, nc, multi_tile, **layout) -> bool:
             _LONG_T_VMEM_LIMIT_MULTI if multi_tile else _LONG_T_VMEM_LIMIT)
 
 
+def _routes_long(T, ns_eff, nc, route_count, multi, layout) -> bool:
+    """THE short-vs-long routing predicate, shared by supports(), the
+    dispatch in fused_batched_solve, and _split_routes_short so the
+    three can never drift (a split operand set reaching the fori-loop
+    kernel would mis-read c's rank).  ``route_count`` is the unrolled
+    SMEM-scalar param count (SoA dynamics + SoA cost params)."""
+    ntau = ns_eff + nc
+    return (T > 128
+            or route_count > _UNROLL_PARAM_LIMIT
+            or T * ntau ** 3 > _UNROLL_VOLUME_LIMIT
+            # batched per-t operands past the unrolled kernel's
+            # blocked-VMEM budget stream through the fori-loop kernel
+            # instead (see _short_blocked_vmem_bytes)
+            or not _short_fits(T, ns_eff, nc, multi, **layout))
+
+
 def _layout_flags(cfg, cost, dynamics, u_lower, u_zero_I):
     """SMEM-vs-batched layout booleans shared by the dispatch gates
     (mirrors fused_batched_solve's operand preparation).
@@ -331,14 +340,14 @@ def _layout_flags(cfg, cost, dynamics, u_lower, u_zero_I):
 
 def _split_routes_short(cfg, dynamics, split_flags):
     """Whether a split-layout (shared-C / batched-c) problem is certain
-    to run the UNROLLED kernel.  Mirrors the short-vs-long routing in
-    fused_batched_solve / supports(); conservatively assumes the
-    multi-tile VMEM regime, so a kept split always fits the actual
-    grid.  Streaming / param-heavy SoA dynamics route long, so they
-    disqualify the split; so does a slew-rate penalty (the host-side
-    augmentation in _fused_slew_solve builds the augmented cost from a
-    layout-matched pair - the recursive solve re-resolves the augmented
-    cost's own layout)."""
+    to run the UNROLLED kernel - the shared `_routes_long` predicate,
+    conservatively in the multi-tile VMEM regime so a kept split always
+    fits the actual grid.  Streaming / param-heavy SoA dynamics route
+    long, so they disqualify the split; so does a slew-rate penalty
+    (the host-side augmentation in _fused_slew_solve builds the
+    augmented cost from a layout-matched pair - the recursive solve
+    re-resolves the augmented cost's own layout, so ns here is always
+    the plain n_state)."""
     if cfg.slew_rate_penalty is not None:
         return False
     n_dyn_p = 0
@@ -346,14 +355,8 @@ def _split_routes_short(cfg, dynamics, split_flags):
         n_dyn_p = _soa_param_count(dynamics)
         if _dyn_streams(dynamics, n_dyn_p):
             return False
-    ns_eff = cfg.n_state + (cfg.n_ctrl if cfg.slew_rate_penalty
-                            is not None else 0)
-    ntau = ns_eff + cfg.n_ctrl
-    return (cfg.T <= 128
-            and n_dyn_p <= _UNROLL_PARAM_LIMIT
-            and cfg.T * ntau ** 3 <= _UNROLL_VOLUME_LIMIT
-            and _short_fits(cfg.T, ns_eff, cfg.n_ctrl, True,
-                            **split_flags))
+    return not _routes_long(cfg.T, cfg.n_state, cfg.n_ctrl, n_dyn_p,
+                            True, split_flags)
 
 
 def _long_fits(cfg, cost, dynamics, u_lower, u_zero_I,
@@ -2307,18 +2310,12 @@ def fused_batched_solve(cfg, x_init, cost: QuadCost, dynamics,
     route_count = ((n_dyn_params if dyn_mode != 'lindx' else 0)
                    + (_soa_param_count(cost) if cost_mode == 'soa'
                       else 0))
-    long_horizon = (T > 128 or route_count > _UNROLL_PARAM_LIMIT
-                    or T * ntau ** 3 > _UNROLL_VOLUME_LIMIT
-                    # blocked batched operands past the unrolled
-                    # kernel's scoped-VMEM budget stream via the
-                    # fori-loop kernel (must mirror supports())
-                    or not _short_fits(
-                        T, ns, nc, G > 1, cost_smem=cost_smem,
-                        dyn_smem=dyn_smem, bounds_smem=bounds_smem,
-                        uz_smem=uz_smem, has_uz=has_uz,
-                        has_bounds=has_bounds, has_f=has_f,
-                        lindx=dyn_mode == 'lindx',
-                        c_batched=c_batched))
+    long_horizon = _routes_long(
+        T, ns, nc, route_count, G > 1,
+        dict(cost_smem=cost_smem, dyn_smem=dyn_smem,
+             bounds_smem=bounds_smem, uz_smem=uz_smem, has_uz=has_uz,
+             has_bounds=has_bounds, has_f=has_f,
+             lindx=dyn_mode == 'lindx', c_batched=c_batched))
     # _normalize_mixed_layouts only keeps the split layout when
     # _split_routes_short proves the unrolled route (conservative
     # multi-tile check), so a split operand set can never reach the
