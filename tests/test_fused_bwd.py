@@ -237,9 +237,17 @@ def test_bwd_batched_medium_ntau_admitted():
     from mpc_tpu.ops.fused_bwd import supports_bwd
     assert supports_bwd(20, 16, 4, jnp.float32)      # 16s/4c batched
     assert supports_bwd(20, 19, 4, jnp.float32)      # 19s/4c batched
-    # batched T reach (pendulum shape) extends with the raised stack
+    # round-5: the forward body gate moved to ntau<=28 and the
+    # backward limit follows - 24s/4c batched probed on hardware
+    # (lowers, runs, 3-6e-7 from the f64 vjp oracle, 1.3x jnp jitted)
+    assert supports_bwd(20, 20, 4, jnp.float32)      # 20s/4c batched
+    assert supports_bwd(20, 24, 4, jnp.float32)      # 24s/4c batched
+    # batched T reach (pendulum shape) extends with the raised stack;
+    # round-5: T=1600 (est 25.4MB, inside the raised 26MB limit) ran
+    # on hardware and matched the precision-pinned jnp phase 2
     assert supports_bwd(1024, 3, 1, jnp.float32)
-    assert not supports_bwd(1600, 3, 1, jnp.float32)
+    assert supports_bwd(1600, 3, 1, jnp.float32)
+    assert not supports_bwd(1650, 3, 1, jnp.float32)
 
 
 def test_bwd_long_batched_medium_equivalence():
