@@ -107,9 +107,11 @@ class MPCConfig:
     # time steps (identical results).
     scan_unroll: int = 4
     # fused single-kernel Pallas solver (ops/fused.py): 'auto' uses it on
-    # TPU whenever the problem is in scope (quadratic cost, SoA or LinDx
-    # dynamics, T <= 128; see ops/fused.py:supports); 'never' forces the
-    # jnp path; 'always' errors if out of scope.
+    # TPU whenever the problem is in scope (quadratic or SoA cost, SoA /
+    # NNDynamics / LinDx dynamics, ntau <= 28; short horizons unroll
+    # fully in-kernel, longer ones - hundreds of steps, VMEM-gated -
+    # run the fori-loop kernel; see ops/fused.py:supports); 'never'
+    # forces the jnp path; 'always' errors if out of scope.
     use_fused: str = 'auto'
     # matmul precision for the jnp path.  TPU matmuls default to
     # bfloat16 inputs, which breaks the <=1e-3 control-parity target
